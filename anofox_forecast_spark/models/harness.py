@@ -1,0 +1,187 @@
+"""Grouped-map forecasting harness — the Spark side of every model.
+
+One ``applyInPandas`` per call: the input long frame is shuffled once by the
+series key; each group arrives as a pandas frame; all requested model kernels
+run over the group's numpy array; results return as Arrow batches. This is
+the SURVEY §2.2 "Spark primitive for ALL models": no per-row Python, no
+driver-side loops, cross-series parallelism = partition parallelism.
+
+Failure policy (ref returns Result per call — src/error.rs): a series that
+raises (e.g. InsufficientData) emits zero forecast rows instead of failing
+the job; use ``forecast_status`` to surface per-series errors.
+
+Skew note: series length after tier rollup is bounded (≤ span/tier buckets),
+so a hot host costs the same as any other series here; skew is handled at
+the rollup stage, not the model stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from anofox_forecast_spark.core.frequency import parse_frequency
+from anofox_forecast_spark.models.registry import get_model
+
+ModelSpec = Mapping[str, Mapping] | Sequence[str]
+
+
+def _normalize_models(models: ModelSpec) -> dict[str, dict]:
+    if isinstance(models, Mapping):
+        return {k: dict(v) for k, v in models.items()}
+    return {name: {} for name in models}
+
+
+def _future_timestamps(last_ts: pd.Timestamp, h: int, freq: str) -> list:
+    f = parse_frequency(freq)
+    if f.kind == "duration":
+        step = pd.Timedelta(seconds=f.seconds)
+        return [last_ts + step * k for k in range(1, h + 1)]
+    months = f.months
+    return [last_ts + pd.DateOffset(months=months * k) for k in range(1, h + 1)]
+
+
+def forecast(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    y_col: str,
+    models: ModelSpec,
+    horizon: int,
+    freq: str,
+    season_length: int = 1,
+    level: float = 0.95,
+    max_points_per_series: int = 100_000,
+) -> DataFrame:
+    """Fit+predict every model for every series; returns the forecast frame.
+
+    Output: (keys…, model, step, ds, yhat, lo, hi). ``ds`` is last-ts + step
+    intervals of ``freq`` (calendar-aware for months, ref add_months
+    src/core/time_series.rs:1014-1039 via pandas DateOffset clamping).
+    ``max_points_per_series`` truncates pathological series to their most
+    recent points (documented guard, SURVEY §7.3 grouped-map skew).
+    """
+    specs = _normalize_models(models)
+    for name in specs:
+        get_model(name)  # validate on driver before launching
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(
+        [*key_fields,
+         StructField("model", StringType()),
+         StructField("step", IntegerType()),
+         StructField("ds", TimestampType()),
+         StructField("yhat", DoubleType()),
+         StructField("lo", DoubleType()),
+         StructField("hi", DoubleType())]
+    )
+    keys_l = list(keys)
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        if len(pdf) > max_points_per_series:
+            pdf = pdf.iloc[-max_points_per_series:]
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        last_ts = pdf[ts_col].iloc[-1]
+        key_vals = {k: pdf[k].iloc[0] for k in keys_l}
+        ds = _future_timestamps(last_ts, horizon, freq)
+        frames = []
+        for name, params in specs.items():
+            kernel = get_model(name)
+            try:
+                res = kernel(y, horizon, level, season_length, **params)
+            except Exception:
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        **{k: [v] * horizon for k, v in key_vals.items()},
+                        "model": name,
+                        "step": np.arange(1, horizon + 1, dtype=np.int32),
+                        "ds": ds,
+                        "yhat": res.yhat,
+                        "lo": res.lo,
+                        "hi": res.hi,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
+        return pd.concat(frames, ignore_index=True)
+
+    return df.groupBy(*keys_l).applyInPandas(fit_predict, schema=out_schema)
+
+
+def fitted_values(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    y_col: str,
+    models: ModelSpec,
+    season_length: int = 1,
+    level: float = 0.95,
+) -> DataFrame:
+    """In-sample fitted values + residuals per model per input row.
+
+    Output: (keys…, ts, y, model, fitted, residual). NaN fitted values (e.g.
+    the first ``m`` seasonal-naive slots) come back as NULL.
+    """
+    specs = _normalize_models(models)
+    for name in specs:
+        get_model(name)
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(
+        [*key_fields,
+         StructField("ts", TimestampType()),
+         StructField("y", DoubleType()),
+         StructField("model", StringType()),
+         StructField("fitted", DoubleType()),
+         StructField("residual", DoubleType())]
+    )
+    keys_l = list(keys)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        key_vals = {k: pdf[k].iloc[0] for k in keys_l}
+        frames = []
+        for name, params in specs.items():
+            kernel = get_model(name)
+            try:
+                res = kernel(y, 1, level, season_length, **params)
+            except Exception:
+                continue
+            if res.fitted.size != len(pdf):
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        **{k: [v] * len(pdf) for k, v in key_vals.items()},
+                        "ts": pdf[ts_col].to_numpy(),
+                        "y": y,
+                        "model": name,
+                        # Float64 (nullable) so NaN → NULL through Arrow
+                        "fitted": pd.Series(res.fitted).astype("Float64"),
+                        "residual": pd.Series(res.residuals).astype("Float64"),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
+        return pd.concat(frames, ignore_index=True)
+
+    return df.groupBy(*keys_l).applyInPandas(fit, schema=out_schema)

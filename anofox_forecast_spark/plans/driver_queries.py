@@ -1,0 +1,534 @@
+"""Driver-contract queries + DuckDB oracle SQL (see /root/repo/__spark_entry__.py).
+
+Every entry here is an operator from SURVEY §2 expressed twice:
+- a PySpark implementation (the engine path), and
+- an ANSI-SQL oracle that DuckDB runs on the same parquet views.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column aliased identically on both sides;
+- doubles rounded (fp summation order differs between engines);
+- counts/sums cast to BIGINT (DuckDB sums integers into HUGEINT);
+- timestamps bucketed with the timezone-free epoch-floor formula on both
+  sides (``TIMESTAMP '1970-01-01' + floor(epoch/k)*k`` in DuckDB,
+  ``timestamp_seconds(floor(unix/k)*k)`` in Spark).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark.core.gapfill import fill_gaps, interpolate_linear, locf
+from anofox_forecast_spark.models.harness import forecast
+from anofox_forecast_spark.models._numerics import z_for_level
+from anofox_forecast_spark.rollup.tiers import bucket_col, cascade_rollup
+
+Z95 = z_for_level(0.95)  # A&S two-sided 95% z — same constant in oracle SQL
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _duck_bucket(col: str, secs: int) -> str:
+    return (
+        "TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST("
+        f"floor(date_part('epoch', {col})/{secs})*{secs} AS BIGINT))"
+    )
+
+
+# --------------------------------------------------------------- rollups
+
+def _rollup(spark: SparkSession, sf_dir: str, secs: int) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.col("ts").cast("timestamp").cast("double") / secs).cast("long")
+                * secs
+            ).alias("bucket_start"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+            F.round(F.min("value"), 4).alias("value_min"),
+            F.round(F.max("value"), 4).alias("value_max"),
+        )
+    )
+
+
+def _rollup_sql(secs: int) -> str:
+    b = _duck_bucket("ts", secs)
+    return f"""
+        SELECT event_type,
+               {b} AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS value_sum,
+               round(avg(value), 4) AS value_avg,
+               round(min(value), 4) AS value_min,
+               round(max(value), 4) AS value_max
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q_tier_rollup_1h(spark, sf_dir):
+    return _rollup(spark, sf_dir, 3600)
+
+
+def q_tier_rollup_1d(spark, sf_dir):
+    return _rollup(spark, sf_dir, 86400)
+
+
+def q_tier_rollup_7d(spark, sf_dir):
+    return _rollup(spark, sf_dir, 604800)
+
+
+def q_tier_cascade_1d(spark, sf_dir):
+    """1h→1d cascade (continuous-aggregate path); oracle = direct 1d rollup."""
+    ev = _events(spark, sf_dir)
+    t1h = ev.groupBy(
+        "event_type", bucket_col("ts", "1h").alias("bucket_start")
+    ).agg(F.count("*").alias("crawl_count"), F.sum("value").alias("text_bytes"))
+    t1d = cascade_rollup(t1h, "1d", keys=["event_type"])
+    return t1d.select(
+        "event_type",
+        "bucket_start",
+        F.col("crawl_count").alias("n_events"),
+        F.round("text_bytes", 4).alias("value_sum"),
+    )
+
+
+def sql_tier_cascade_1d():
+    b = _duck_bucket("ts", 86400)
+    return f"""
+        SELECT event_type, {b} AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS value_sum
+        FROM events GROUP BY 1, 2
+    """
+
+
+# -------------------------------------------------------------- gap-fill
+
+def _hourly_counts(spark, sf_dir) -> DataFrame:
+    """1h rollup (count measure only — integer-exact for oracle hashing)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", bucket_col("ts", "1h").alias("bucket_start")
+    ).agg(F.count("*").alias("n_events"))
+
+
+_DUCK_HOURLY = f"""
+    WITH rolled AS (
+        SELECT event_type, {_duck_bucket('ts', 3600)} AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+_DUCK_SPINE = """
+    , spine AS (
+        SELECT event_type,
+               unnest(generate_series(min(bucket_start), max(bucket_start),
+                                      INTERVAL 1 HOUR)) AS bucket_start
+        FROM rolled GROUP BY event_type
+    ), joined AS (
+        SELECT s.event_type, s.bucket_start, r.n_events,
+               r.n_events IS NULL AS filled
+        FROM spine s LEFT JOIN rolled r
+          ON s.event_type = r.event_type AND s.bucket_start = r.bucket_start
+    )
+"""
+
+
+def q_gapfill_spine_1h(spark, sf_dir):
+    rolled = _hourly_counts(spark, sf_dir)
+    return fill_gaps(rolled, ["event_type"], "bucket_start", ["n_events"], "1h")
+
+
+def sql_gapfill_spine_1h():
+    return _DUCK_HOURLY + _DUCK_SPINE + "SELECT * FROM joined"
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    rolled = _hourly_counts(spark, sf_dir)
+    filled = fill_gaps(rolled, ["event_type"], "bucket_start", ["n_events"], "1h")
+    return locf(filled, ["event_type"], "bucket_start", ["n_events"])
+
+
+def sql_gapfill_locf_1h():
+    return (
+        _DUCK_HOURLY
+        + _DUCK_SPINE
+        + """
+        SELECT event_type, bucket_start,
+               last_value(n_events IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n_events,
+               filled
+        FROM joined
+        """
+    )
+
+
+def q_gapfill_interp_1h(spark, sf_dir):
+    """Linear interpolation of the hourly count series across gaps."""
+    rolled = _hourly_counts(spark, sf_dir).withColumn(
+        "y", F.col("n_events").cast("double")
+    ).drop("n_events")
+    filled = fill_gaps(rolled, ["event_type"], "bucket_start", ["y"], "1h")
+    out = interpolate_linear(filled, ["event_type"], "bucket_start", ["y"])
+    return out.select(
+        "event_type", "bucket_start", F.round("y", 6).alias("y"), "filled"
+    )
+
+
+def sql_gapfill_interp_1h():
+    return (
+        _DUCK_HOURLY
+        + _DUCK_SPINE
+        + """
+        , w AS (
+            SELECT event_type, bucket_start, filled,
+                   CAST(n_events AS DOUBLE) AS y,
+                   date_part('epoch', bucket_start) AS tse,
+                   last_value(CAST(n_events AS DOUBLE) IGNORE NULLS) OVER prev AS pv,
+                   last_value(CASE WHEN n_events IS NOT NULL
+                              THEN date_part('epoch', bucket_start) END IGNORE NULLS)
+                       OVER prev AS pt,
+                   first_value(CAST(n_events AS DOUBLE) IGNORE NULLS) OVER nxt AS nv,
+                   first_value(CASE WHEN n_events IS NOT NULL
+                               THEN date_part('epoch', bucket_start) END IGNORE NULLS)
+                       OVER nxt AS nt
+            FROM joined
+            WINDOW prev AS (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   nxt AS (PARTITION BY event_type ORDER BY bucket_start
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket_start,
+               round(CASE WHEN y IS NOT NULL THEN y
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                          THEN pv + (tse - pt) / (nt - pt) * (nv - pv)
+                          ELSE NULL END, 6) AS y,
+               filled
+        FROM w
+        """
+    )
+
+
+# -------------------------------------------------------------- forecasts
+# SQL-expressible models get full oracles (exact-tier contract); step/ds/yhat
+# (and intervals where the sigma is SQL-expressible) compared.
+
+def _daily_series(spark, sf_dir) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", bucket_col("ts", "1d").alias("bucket_start"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+
+
+_DUCK_DAILY = f"""
+    WITH series AS (
+        SELECT event_type, {_duck_bucket('ts', 86400)} AS bucket_start,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def q_forecast_naive_1d(spark, sf_dir):
+    series = _daily_series(spark, sf_dir)
+    out = forecast(
+        series, ["event_type"], "bucket_start", "y",
+        models=["naive"], horizon=6, freq="1d",
+    )
+    return out.select(
+        "event_type", "step", "ds",
+        F.round("yhat", 6).alias("yhat"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    )
+
+
+def sql_forecast_naive_1d():
+    # sigma = sqrt(mean(first-difference²)); z = A&S quantile_normal(0.975)
+    return (
+        _DUCK_DAILY
+        + f"""
+        , diffs AS (
+            SELECT event_type,
+                   y - lag(y) OVER (PARTITION BY event_type ORDER BY bucket_start) AS d
+            FROM series
+        ), sigma AS (
+            SELECT event_type, sqrt(avg(d*d)) AS s FROM diffs
+            WHERE d IS NOT NULL GROUP BY event_type
+        ), lastv AS (
+            SELECT event_type,
+                   arg_max(y, bucket_start) AS last_y,
+                   max(bucket_start) AS last_b
+            FROM series GROUP BY event_type
+        )
+        SELECT l.event_type,
+               CAST(s.step AS INTEGER) AS step,
+               l.last_b + to_seconds(CAST(s.step * 86400 AS BIGINT)) AS ds,
+               round(l.last_y, 6) AS yhat,
+               round(l.last_y - {Z95!r} * g.s * sqrt(s.step), 6) AS lo,
+               round(l.last_y + {Z95!r} * g.s * sqrt(s.step), 6) AS hi
+        FROM lastv l
+        JOIN sigma g USING (event_type)
+        CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS step) s
+        """
+    )
+
+
+def q_forecast_historic_avg_1d(spark, sf_dir):
+    series = _daily_series(spark, sf_dir)
+    out = forecast(
+        series, ["event_type"], "bucket_start", "y",
+        models=["historic_average"], horizon=4, freq="1d",
+    )
+    return out.select("event_type", "step", "ds", F.round("yhat", 6).alias("yhat"))
+
+
+def sql_forecast_historic_avg_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        , agg AS (
+            SELECT event_type, avg(y) AS m, max(bucket_start) AS last_b
+            FROM series GROUP BY event_type
+        )
+        SELECT event_type, CAST(s.step AS INTEGER) AS step,
+               last_b + to_seconds(CAST(s.step * 86400 AS BIGINT)) AS ds,
+               round(m, 6) AS yhat
+        FROM agg CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS step) s
+        """
+    )
+
+
+def q_forecast_rwd_1d(spark, sf_dir):
+    series = _daily_series(spark, sf_dir)
+    out = forecast(
+        series, ["event_type"], "bucket_start", "y",
+        models=["random_walk_drift"], horizon=5, freq="1d",
+    )
+    return out.select("event_type", "step", "ds", F.round("yhat", 6).alias("yhat"))
+
+
+def sql_forecast_rwd_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        , agg AS (
+            SELECT event_type,
+                   arg_max(y, bucket_start) AS last_y,
+                   arg_min(y, bucket_start) AS first_y,
+                   max(bucket_start) AS last_b,
+                   count(*) AS n
+            FROM series GROUP BY event_type
+        )
+        SELECT event_type, CAST(s.step AS INTEGER) AS step,
+               last_b + to_seconds(CAST(s.step * 86400 AS BIGINT)) AS ds,
+               round(last_y + s.step * (last_y - first_y) / (n - 1), 6) AS yhat
+        FROM agg CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s
+        WHERE n >= 2
+        """
+    )
+
+
+def q_forecast_snaive_1h(spark, sf_dir):
+    """Seasonal naive, period 24, on the gap-filled+LOCF hourly count series."""
+    rolled = _hourly_counts(spark, sf_dir).withColumn(
+        "y", F.col("n_events").cast("double")
+    )
+    filled = fill_gaps(rolled, ["event_type"], "bucket_start", ["y"], "1h",
+                       mark_filled=False)
+    series = locf(filled, ["event_type"], "bucket_start", ["y"]).fillna(0.0, ["y"])
+    out = forecast(
+        series, ["event_type"], "bucket_start", "y",
+        models=["seasonal_naive"], horizon=12, freq="1h", season_length=24,
+    )
+    return out.select("event_type", "step", "ds", F.round("yhat", 6).alias("yhat"))
+
+
+def sql_forecast_snaive_1h():
+    return (
+        _DUCK_HOURLY
+        + _DUCK_SPINE
+        + """
+        , locf AS (
+            SELECT event_type, bucket_start,
+                   coalesce(CAST(last_value(n_events IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 0.0) AS y
+            FROM joined
+        ), indexed AS (
+            SELECT event_type, bucket_start, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   max(bucket_start) OVER (PARTITION BY event_type) AS last_b
+            FROM locf
+        )
+        SELECT i.event_type, CAST(s.step AS INTEGER) AS step,
+               i.last_b + to_seconds(CAST(s.step * 3600 AS BIGINT)) AS ds,
+               round(i.y, 6) AS yhat
+        FROM indexed i
+        JOIN (SELECT unnest(generate_series(1, 12)) AS step) s
+          ON i.rn = i.n - 24 + ((s.step - 1) % 24) + 1
+        WHERE i.n >= 24
+        """
+    )
+
+
+# --------------------------------------------------------------- features
+
+def q_features_basic(spark, sf_dir):
+    """tsfresh-style scalar aggregates per series (ref src/features/basic.rs)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("length"),
+        F.round(F.sum(F.col("value") * F.col("value")), 2).alias("abs_energy"),
+        F.round(F.max(F.abs("value")), 6).alias("absolute_maximum"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.min("value"), 6).alias("minimum"),
+        F.round(F.max("value"), 6).alias("maximum"),
+        F.round(F.sum("value"), 4).alias("sum_values"),
+        F.round(F.stddev_pop("value"), 6).alias("standard_deviation"),
+        F.round(F.var_pop("value"), 4).alias("variance"),
+        F.round(F.var_samp("value"), 4).alias("variance_sample"),
+        F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 6).alias(
+            "root_mean_square"
+        ),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+    )
+
+
+def sql_features_basic():
+    return """
+        SELECT event_type,
+               CAST(count(value) AS BIGINT) AS length,
+               round(sum(value*value), 2) AS abs_energy,
+               round(max(abs(value)), 6) AS absolute_maximum,
+               round(avg(value), 6) AS mean,
+               round(min(value), 6) AS minimum,
+               round(max(value), 6) AS maximum,
+               round(sum(value), 4) AS sum_values,
+               round(stddev_pop(value), 6) AS standard_deviation,
+               round(var_pop(value), 4) AS variance,
+               round(var_samp(value), 4) AS variance_sample,
+               round(sqrt(avg(value*value)), 6) AS root_mean_square,
+               round(quantile_cont(value, 0.5), 6) AS median
+        FROM events GROUP BY event_type
+    """
+
+
+def q_features_change(spark, sf_dir):
+    """Change features over the per-type time-ordered value sequence."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.withColumn("d", F.col("value") - F.lag("value").over(w))
+    return d.groupBy("event_type").agg(
+        F.round(F.sum(F.abs("d")), 4).alias("absolute_sum_of_changes"),
+        F.round(F.avg(F.abs("d")), 6).alias("mean_abs_change"),
+        F.round(F.avg("d"), 6).alias("mean_change"),
+    )
+
+
+def sql_features_change():
+    return """
+        WITH d AS (
+            SELECT event_type,
+                   value - lag(value) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id) AS d
+            FROM events
+        )
+        SELECT event_type,
+               round(sum(abs(d)), 4) AS absolute_sum_of_changes,
+               round(avg(abs(d)), 6) AS mean_abs_change,
+               round(avg(d), 6) AS mean_change
+        FROM d GROUP BY event_type
+    """
+
+
+def q_rolling_window_1d(spark, sf_dir):
+    """Rolling mean/min/max/sum over trailing 7 buckets (ref transform/window.rs)."""
+    from pyspark.sql import Window
+
+    series = _daily_series(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-6, 0)
+    )
+    return series.select(
+        "event_type",
+        "bucket_start",
+        F.round(F.avg("y").over(w), 6).alias("roll_mean"),
+        F.round(F.sum("y").over(w), 6).alias("roll_sum"),
+        F.min("y").over(w).alias("roll_min"),
+        F.max("y").over(w).alias("roll_max"),
+    )
+
+
+def sql_rolling_window_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        SELECT event_type, bucket_start,
+               round(avg(y) OVER w, 6) AS roll_mean,
+               round(sum(y) OVER w, 6) AS roll_sum,
+               min(y) OVER w AS roll_min,
+               max(y) OVER w AS roll_max
+        FROM series
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tier_rollup_1h": q_tier_rollup_1h,
+        "tier_rollup_1d": q_tier_rollup_1d,
+        "tier_rollup_7d": q_tier_rollup_7d,
+        "tier_cascade_1d": q_tier_cascade_1d,
+        "gapfill_spine_1h": q_gapfill_spine_1h,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_interp_1h": q_gapfill_interp_1h,
+        "forecast_naive_1d": q_forecast_naive_1d,
+        "forecast_historic_avg_1d": q_forecast_historic_avg_1d,
+        "forecast_rwd_1d": q_forecast_rwd_1d,
+        "forecast_snaive_1h": q_forecast_snaive_1h,
+        "features_basic": q_features_basic,
+        "features_change": q_features_change,
+        "rolling_window_1d": q_rolling_window_1d,
+    }
+
+
+def build_oracle_sql() -> dict[str, str]:
+    return {
+        "tier_rollup_1h": _rollup_sql(3600),
+        "tier_rollup_1d": _rollup_sql(86400),
+        "tier_rollup_7d": _rollup_sql(604800),
+        "tier_cascade_1d": sql_tier_cascade_1d(),
+        "gapfill_spine_1h": sql_gapfill_spine_1h(),
+        "gapfill_locf_1h": sql_gapfill_locf_1h(),
+        "gapfill_interp_1h": sql_gapfill_interp_1h(),
+        "forecast_naive_1d": sql_forecast_naive_1d(),
+        "forecast_historic_avg_1d": sql_forecast_historic_avg_1d(),
+        "forecast_rwd_1d": sql_forecast_rwd_1d(),
+        "forecast_snaive_1h": sql_forecast_snaive_1h(),
+        "features_basic": sql_features_basic(),
+        "features_change": sql_features_change(),
+        "rolling_window_1d": sql_rolling_window_1d(),
+    }

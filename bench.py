@@ -1,0 +1,131 @@
+"""Benchmark harness — north-rule headline numbers.
+
+Runs the engine's headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "rolled_points_per_sec": ..., "forecast_series_per_sec": ...}
+
+Workload:
+- pages_rollup_tiers: synthetic web-pages table → 1h tier → 1d → 7d
+  cascades (the north-rule continuous-aggregate path).
+- pages_gapfill: spine + LOCF + linear interpolation over the 1h tier.
+- pages_forecast: seasonal-naive + theta + ses grouped-map forecast over
+  the 1d tier for every (lang, host) series.
+- events_*: driver-table queries (rollup + gap-fill + forecast) at sf_dir.
+
+For the N-vs-4N scaling-efficiency evidence see tools/bench_scaling.py
+(clean JVM per parallelism level) → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "500"))
+
+
+def main() -> None:
+    from anofox_forecast_spark.core.gapfill import fill_gaps, interpolate_linear, locf
+    from anofox_forecast_spark.models.harness import forecast
+    from anofox_forecast_spark.plans import driver_queries as dq
+    from anofox_forecast_spark.rollup.tiers import cascade_rollup, rollup_pages
+    from anofox_forecast_spark.session import get_spark
+    from anofox_forecast_spark.sources.pages import synthesize_pages
+
+    spark = get_spark("anofox-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    counters: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- pages pipeline (north rule) -------------------------------------
+    pages = synthesize_pages(spark, n_pages=N_PAGES, n_hosts=N_HOSTS, weeks=8)
+    pages = pages.persist()
+    n_raw = timed("pages_materialize", pages.count)
+
+    t1h = rollup_pages(pages, "1h").persist()
+    n_1h = timed("pages_rollup_1h", t1h.count)
+    t1d = cascade_rollup(t1h, "1d").persist()
+    n_1d = timed("pages_rollup_1d_cascade", t1d.count)
+    n_7d = timed("pages_rollup_7d_cascade", cascade_rollup(t1d, "7d").count)
+    rolled_points = n_1h + n_1d + n_7d
+    rollup_sec = (
+        timings["pages_rollup_1h"]
+        + timings["pages_rollup_1d_cascade"]
+        + timings["pages_rollup_7d_cascade"]
+    )
+
+    def gapfill_job():
+        filled = fill_gaps(
+            t1h.select("lang", "host", "bucket_start",
+                       F.col("crawl_count").cast("double").alias("y")),
+            ["lang", "host"], "bucket_start", ["y"], "1h",
+        )
+        filled = locf(filled, ["lang", "host"], "bucket_start", ["y"])
+        out = interpolate_linear(filled, ["lang", "host"], "bucket_start", ["y"])
+        return out.count()
+
+    n_filled = timed("pages_gapfill_1h", gapfill_job)
+
+    def forecast_job():
+        series = t1d.select(
+            "lang", "host", "bucket_start",
+            F.col("crawl_count").cast("double").alias("y"),
+        )
+        out = forecast(
+            series, ["lang", "host"], "bucket_start", "y",
+            models=["seasonal_naive", "ses", "theta"],
+            horizon=14, freq="1d", season_length=7,
+        )
+        return out.count()
+
+    n_forecast_rows = timed("pages_forecast_1d", forecast_job)
+    n_series = t1d.select("lang", "host").distinct().count()
+
+    # --- driver-table queries --------------------------------------------
+    timed("events_rollup_1h", lambda: dq.q_tier_rollup_1h(spark, SF_DIR).count())
+    timed("events_gapfill_locf", lambda: dq.q_gapfill_locf_1h(spark, SF_DIR).count())
+    timed("events_forecast_snaive", lambda: dq.q_forecast_snaive_1h(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    counters = {
+        "raw_pages": n_raw,
+        "rolled_points": rolled_points,
+        "gapfilled_points": n_filled,
+        "forecast_rows": n_forecast_rows,
+        "series": n_series,
+    }
+    fc_sec = timings["pages_forecast_1d"]
+    result = {
+        "metric": "rollup+gapfill+forecast pipeline, pages synthetic + driver tables",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "counters": counters,
+        "rolled_points_per_sec": round(rolled_points / rollup_sec) if rollup_sec else None,
+        "forecast_series_per_sec": round(3 * n_series / fc_sec) if fc_sec else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

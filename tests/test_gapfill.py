@@ -1,0 +1,104 @@
+"""Gap-fill / LOCF / interpolation / frequency-inference Spark tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from anofox_forecast_spark.core import (
+    fill_gaps,
+    infer_frequency,
+    interpolate_linear,
+    locf,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _hours(*hs):
+    return [T0 + dt.timedelta(hours=h) for h in hs]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "sid string, ts timestamp, y double")
+
+
+def test_fill_gaps_hourly(spark):
+    ts = _hours(0, 1, 4)
+    df = _mk(spark, [("a", ts[0], 1.0), ("a", ts[1], 2.0), ("a", ts[2], 5.0)])
+    out = fill_gaps(df, ["sid"], "ts", ["y"], "1h").orderBy("ts").collect()
+    assert [r.ts.hour for r in out] == [0, 1, 2, 3, 4]
+    assert [r.y for r in out] == [1.0, 2.0, None, None, 5.0]
+    assert [r.filled for r in out] == [False, False, True, True, False]
+
+
+def test_fill_gaps_monthly(spark):
+    # Engine contract: month spines start at date_trunc'd bucket starts
+    # (day 1), where Spark sequence and ref iterative add_months agree.
+    # For clamped starts Spark computes start + k·months (Jan 31 + 2mo =
+    # Mar 31) while the reference chains add_months (Mar 29); documented
+    # divergence — tiers only use duration frequencies.
+    df = spark.sql(
+        "select 'a' sid, to_timestamp(x) ts, 1.0 y from "
+        "values ('2024-01-01'), ('2024-04-01') as t(x)"
+    )
+    out = fill_gaps(df, ["sid"], "ts", ["y"], "1mo").orderBy("ts").collect()
+    assert [(r.ts.month, r.ts.day) for r in out] == [(1, 1), (2, 1), (3, 1), (4, 1)]
+    # clamping at month-end start still matches ref for the FIRST step
+    clamp = spark.sql(
+        "select sequence(to_timestamp('2024-01-31'), to_timestamp('2024-02-29'),"
+        " interval 1 month) x"
+    ).collect()[0].x
+    assert clamp[1].day == 29
+
+
+def test_locf(spark):
+    ts = _hours(0, 1, 2, 3)
+    df = _mk(
+        spark,
+        [("a", ts[0], 1.0), ("a", ts[1], None), ("a", ts[2], None), ("a", ts[3], 4.0)],
+    )
+    out = locf(df, ["sid"], "ts", ["y"]).orderBy("ts").collect()
+    assert [r.y for r in out] == [1.0, 1.0, 1.0, 4.0]
+
+
+def test_locf_leading_nulls_stay(spark):
+    ts = _hours(0, 1)
+    df = _mk(spark, [("a", ts[0], None), ("a", ts[1], 2.0)])
+    out = locf(df, ["sid"], "ts", ["y"]).orderBy("ts").collect()
+    assert [r.y for r in out] == [None, 2.0]
+
+
+def test_interpolate_linear(spark):
+    ts = _hours(0, 1, 2, 3, 4)
+    df = _mk(
+        spark,
+        [
+            ("a", ts[0], 0.0),
+            ("a", ts[1], None),
+            ("a", ts[2], None),
+            ("a", ts[3], 3.0),
+            ("a", ts[4], None),
+        ],
+    )
+    out = interpolate_linear(df, ["sid"], "ts", ["y"]).orderBy("ts").collect()
+    # ref kernel: l + (j+1)/(gap+1)*(r-l) → 1.0, 2.0; trailing edge stays NULL
+    assert [r.y for r in out] == [0.0, 1.0, 2.0, 3.0, None]
+
+
+def test_interpolate_fill_edges(spark):
+    ts = _hours(0, 1, 2)
+    df = _mk(spark, [("a", ts[0], None), ("a", ts[1], 5.0), ("a", ts[2], None)])
+    out = (
+        interpolate_linear(df, ["sid"], "ts", ["y"], fill_edges=True)
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r.y for r in out] == [5.0, 5.0, 5.0]
+
+
+def test_infer_frequency(spark):
+    ts = _hours(0, 1, 2, 3, 7)  # modal diff 1h (3 of 4)
+    df = _mk(spark, [("a", t, 1.0) for t in ts])
+    row = infer_frequency(df, ["sid"], "ts").collect()[0]
+    assert row.freq_seconds == 3600
+    assert abs(row.modal_ratio - 0.75) < 1e-9
