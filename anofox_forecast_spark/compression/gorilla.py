@@ -1,0 +1,293 @@
+"""Gorilla time-series compression: XOR floats + delta-of-delta timestamps.
+
+From the public Gorilla paper (Pelkonen et al., VLDB 2015 — "Gorilla: A
+Fast, Scalable, In-Memory Time Series Database", §4.1) — the reference repo
+has no codec; this is a north-rule addition (BASELINE.json north_star).
+
+Timestamp encoding (§4.1.1, adapted to arbitrary first delta):
+- header: first timestamp as raw 64 bits, first delta as raw 64 bits
+- then per point, D = Δt − Δt_prev:
+    D == 0                → '0'
+    D ∈ [-63, 64]         → '10'  + 7 bits  (zigzag-free offset encoding)
+    D ∈ [-255, 256]       → '110' + 9 bits
+    D ∈ [-2047, 2048]     → '1110'+ 12 bits
+    else                  → '1111'+ 64 bits raw two's-complement
+
+Value encoding (§4.1.2):
+- first value raw 64 bits; then X = bits(v) XOR bits(v_prev):
+    X == 0                                  → '0'
+    meaningful bits inside previous window  → '10' + meaningful bits
+    else → '11' + 5 bits #leading-zeros + 6 bits length + meaningful bits
+
+The Spark layer (``compress_chunks``) packs each (series, chunk) into one
+BinaryType blob pair inside an ``applyInPandas`` — Arrow-batched, no per-row
+Python at the Spark layer; the bit-packing loop runs over one in-memory
+chunk (bounded size) per call. Round-trip losslessness is property-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+_TS_RANGES = ((-63, 64, 7, 0b10, 2), (-255, 256, 9, 0b110, 3), (-2047, 2048, 12, 0b1110, 4))
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta pack int64 timestamps (any unit; callers use seconds)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = ts.size
+    w = _BitWriter()
+    if n == 0:
+        return b""
+    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    if n == 1:
+        return w.getvalue()
+    first_delta = int(ts[1]) - int(ts[0])
+    w.write(first_delta & ((1 << 64) - 1), 64)
+    prev_delta = first_delta
+    for i in range(2, n):
+        delta = int(ts[i]) - int(ts[i - 1])
+        d = delta - prev_delta
+        prev_delta = delta
+        if d == 0:
+            w.write(0, 1)
+            continue
+        for lo, hi, bits, ctrl, ctrl_bits in _TS_RANGES:
+            if lo <= d <= hi:
+                w.write(ctrl, ctrl_bits)
+                w.write(d - lo, bits)  # offset encoding, always non-negative
+                break
+        else:
+            w.write(0b1111, 4)
+            w.write(d & ((1 << 64) - 1), 64)
+    return w.getvalue()
+
+
+def decode_timestamps(blob: bytes, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    r = _BitReader(blob)
+
+    def s64(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    out[0] = s64(r.read(64))
+    if n == 1:
+        return out
+    prev_delta = s64(r.read(64))
+    out[1] = out[0] + prev_delta
+    for i in range(2, n):
+        if r.read(1) == 0:
+            d = 0
+        else:
+            if r.read(1) == 0:
+                lo, bits = -63, 7
+            elif r.read(1) == 0:
+                lo, bits = -255, 9
+            elif r.read(1) == 0:
+                lo, bits = -2047, 12
+            else:
+                d = s64(r.read(64))
+                prev_delta += d
+                out[i] = out[i - 1] + prev_delta
+                continue
+            d = r.read(bits) + lo
+        prev_delta += d
+        out[i] = out[i - 1] + prev_delta
+    return out
+
+
+def encode_values(values: np.ndarray) -> bytes:
+    """Gorilla XOR float compression (lossless, NaN-preserving)."""
+    v = np.asarray(values, dtype=np.float64)
+    bits = v.view(np.uint64)
+    n = v.size
+    w = _BitWriter()
+    if n == 0:
+        return b""
+    w.write(int(bits[0]), 64)
+    prev = int(bits[0])
+    prev_lead, prev_sig = 65, 0  # 65 = "no previous window"
+    for i in range(1, n):
+        cur = int(bits[i])
+        x = cur ^ prev
+        prev = cur
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lead = 64 - x.bit_length()
+        trail = (x & -x).bit_length() - 1
+        if lead > 31:
+            lead = 31  # 5-bit field cap (paper convention)
+        sig = 64 - lead - trail
+        if prev_lead <= 64 and lead >= prev_lead and (64 - prev_lead - prev_sig) <= trail:
+            # fits in previous window → '10' + prev_sig bits
+            w.write(0b10, 2)
+            w.write(x >> (64 - prev_lead - prev_sig), prev_sig)
+        else:
+            w.write(0b11, 2)
+            w.write(lead, 5)
+            w.write(sig - 1, 6)  # store length-1 so 64 fits in 6 bits
+            w.write(x >> trail, sig)
+            prev_lead, prev_sig = lead, sig
+    return w.getvalue()
+
+
+def decode_values(blob: bytes, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    r = _BitReader(blob)
+    prev = r.read(64)
+    out[0] = prev
+    lead, sig = 0, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = prev
+            continue
+        if r.read(1) == 1:
+            lead = r.read(5)
+            sig = r.read(6) + 1
+        x = r.read(sig) << (64 - lead - sig)
+        prev ^= x
+        out[i] = prev
+    return out.view(np.float64)
+
+
+# ------------------------------------------------------------- Spark layer
+
+def compress_chunks(
+    df,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    chunk_freq: str = "7d",
+):
+    """Per-(series, chunk) Gorilla blobs: one row per chunk.
+
+    Output: (keys…, chunk_start: timestamp, n_points: int,
+    ts_blob: binary, val_blob: binary). Chunking bounds both blob size and
+    UDF memory; chunk_start comes from the same epoch-floor bucketing as the
+    rollup tiers, so chunks align with tier partitions.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from anofox_forecast_spark.rollup.tiers import bucket_col
+
+    keys_l = list(keys)
+    key_fields = [df.schema[k] for k in keys_l]
+    out_schema = StructType(
+        [*key_fields,
+         StructField("chunk_start", TimestampType()),
+         StructField("n_points", IntegerType()),
+         StructField("ts_blob", BinaryType()),
+         StructField("val_blob", BinaryType())]
+    )
+
+    chunked = df.withColumn("__chunk", bucket_col(ts_col, chunk_freq))
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ts = (pdf[ts_col].astype("datetime64[s]").astype("int64")).to_numpy()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        row = {k: [pdf[k].iloc[0]] for k in keys_l}
+        row["chunk_start"] = [pdf["__chunk"].iloc[0]]
+        row["n_points"] = [np.int32(len(pdf))]
+        row["ts_blob"] = [encode_timestamps(ts)]
+        row["val_blob"] = [encode_values(vals)]
+        return pd.DataFrame(row)
+
+    return chunked.groupBy(*keys_l, "__chunk").applyInPandas(encode, out_schema)
+
+
+def decompress_chunks(df, keys: Sequence[str]):
+    """Inverse of ``compress_chunks``: explode blobs back to points.
+
+    Output: (keys…, ts: timestamp, value: double).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    keys_l = list(keys)
+    key_fields = [df.schema[k] for k in keys_l]
+    out_schema = StructType(
+        [*key_fields,
+         StructField("ts", TimestampType()),
+         StructField("value", DoubleType())]
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, r in pdf.iterrows():
+            n = int(r["n_points"])
+            ts = decode_timestamps(bytes(r["ts_blob"]), n)
+            vals = decode_values(bytes(r["val_blob"]), n)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        **{k: [r[k]] * n for k in keys_l},
+                        "ts": pd.to_datetime(ts, unit="s"),
+                        "value": vals,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+        )
+
+    return df.groupBy(*keys_l).applyInPandas(decode, out_schema)

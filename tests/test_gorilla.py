@@ -1,0 +1,117 @@
+"""Gorilla codec: lossless round-trip properties + Spark chunk pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anofox_forecast_spark.compression.gorilla import (
+    compress_chunks,
+    decode_timestamps,
+    decode_values,
+    decompress_chunks,
+    encode_timestamps,
+    encode_values,
+)
+
+
+def _roundtrip_values(v):
+    v = np.asarray(v, dtype=np.float64)
+    blob = encode_values(v)
+    out = decode_values(blob, v.size)
+    # bit-exact including NaN payloads
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+    return blob
+
+
+def _roundtrip_ts(t):
+    t = np.asarray(t, dtype=np.int64)
+    blob = encode_timestamps(t)
+    out = decode_timestamps(blob, t.size)
+    assert np.array_equal(t, out)
+    return blob
+
+
+def test_values_basic():
+    _roundtrip_values([1.0, 1.0, 2.5, -3.75, 0.0, 1e308, -1e-308, np.nan, np.inf])
+
+
+def test_values_constant_compresses_hard():
+    v = np.full(1000, 42.125)
+    blob = _roundtrip_values(v)
+    assert len(blob) < 8 + 1000 // 8 + 16  # ~1 bit/point after the first
+
+
+def test_values_empty_and_single():
+    assert encode_values(np.array([])) == b""
+    _roundtrip_values([3.14])
+
+
+def test_timestamps_regular_grid_compresses_hard():
+    t = np.arange(0, 3600 * 1000, 3600, dtype=np.int64)
+    blob = _roundtrip_ts(t)
+    assert len(blob) < 16 + len(t) // 8 + 16  # dod==0 → 1 bit/point
+
+
+def test_timestamps_irregular():
+    _roundtrip_ts([0, 10, 20, 25, 1000, 1001, 999999999, 10**15])
+
+
+def test_timestamps_negative_deltas():
+    _roundtrip_ts([100, 50, 200, 199, 0])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_values_roundtrip_property(v):
+    _roundtrip_values(v)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_timestamps_roundtrip_property(t):
+    _roundtrip_ts(sorted(t))
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_chunk_roundtrip(spark):
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(42)
+    for sid in ("a", "b"):
+        vals = np.round(50 + rng.normal(0, 5, 400), 3)
+        for i in range(400):
+            rows.append((sid, t0 + dt.timedelta(hours=i), float(vals[i])))
+    df = spark.createDataFrame(rows, "sid string, ts timestamp, y double")
+    chunks = compress_chunks(df, ["sid"], "ts", "y", chunk_freq="7d")
+    cp = chunks.toPandas()
+    assert cp["n_points"].sum() == 800
+    assert (cp.groupby("sid").size() > 1).all()  # multiple chunks per series
+    # blobs materially smaller than raw 16 B/point
+    raw_bytes = 16 * 800
+    packed = int(cp["ts_blob"].map(len).sum() + cp["val_blob"].map(len).sum())
+    assert packed < raw_bytes * 0.8
+
+    back = decompress_chunks(chunks, ["sid"]).toPandas()
+    orig = df.toPandas()
+    a = back.sort_values(["sid", "ts"]).reset_index(drop=True)
+    b = orig.sort_values(["sid", "ts"]).reset_index(drop=True)
+    assert (a["sid"] == b["sid"]).all()
+    assert (a["ts"] == b["ts"]).all()
+    assert np.array_equal(a["value"].to_numpy(), b["y"].to_numpy())
