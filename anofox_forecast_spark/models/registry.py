@@ -6,8 +6,11 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from anofox_forecast_spark.models import kernels as K
+from anofox_forecast_spark.models.ets import auto_ets, ets
 
 MODELS: dict[str, Callable] = {
+    "ets": ets,
+    "auto_ets": auto_ets,
     "naive": K.naive,
     "seasonal_naive": K.seasonal_naive,
     "historic_average": K.historic_average,
