@@ -552,8 +552,4 @@ def theta(
     return KernelResult(yhat, lo, hi, fitted, resid, {"alpha": a, "b": b})
 
 
-def optimized_theta(
-    y: np.ndarray, h: int, level: float = 0.95, m: int = 0
-) -> KernelResult:
-    """OTM: α optimized by SES SSE (ref src/models/theta/optimized.rs:1-8)."""
-    return theta(y, h, level, m, theta_param=2.0, alpha=None, optimize_alpha=True)
+# OptimizedTheta (OTM) lives in theta_ext.py (optimizes α and θ jointly).

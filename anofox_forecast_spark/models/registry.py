@@ -5,23 +5,41 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from anofox_forecast_spark.models import intermittent as I
 from anofox_forecast_spark.models import kernels as K
+from anofox_forecast_spark.models import theta_ext as T
 from anofox_forecast_spark.models.ets import auto_ets, ets
 
 MODELS: dict[str, Callable] = {
-    "ets": ets,
-    "auto_ets": auto_ets,
+    # baseline (ref src/models/baseline/)
     "naive": K.naive,
     "seasonal_naive": K.seasonal_naive,
     "historic_average": K.historic_average,
     "window_average": K.window_average,
     "random_walk_drift": K.random_walk_drift,
     "seasonal_window_average": K.seasonal_window_average,
+    # exponential (ref src/models/exponential/)
     "ses": K.ses,
     "holt": K.holt,
     "holt_winters": K.holt_winters,
+    "seasonal_es": I.seasonal_es,
+    "ets": ets,
+    "auto_ets": auto_ets,
+    # theta family (ref src/models/theta/)
     "theta": K.theta,
-    "optimized_theta": K.optimized_theta,
+    "optimized_theta": T.optimized_theta,
+    "dynamic_theta": T.dynamic_theta,
+    "dynamic_optimized_theta": T.dynamic_optimized_theta,
+    "auto_theta": T.auto_theta,
+    # intermittent (ref src/models/intermittent/)
+    "croston": I.croston,
+    "croston_sba": I.croston_sba,
+    "croston_sba_optimized": I.croston_sba_optimized,
+    "tsb": I.tsb,
+    "adida": I.adida,
+    "imapa": I.imapa,
+    # ensemble (ref src/models/ensemble/)
+    "ensemble": T.ensemble,
 }
 
 

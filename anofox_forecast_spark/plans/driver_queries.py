@@ -388,6 +388,42 @@ def sql_forecast_snaive_1h():
     )
 
 
+def q_forecast_ses_fixed_1d(spark, sf_dir):
+    """SES with fixed α=0.3 — the recursion unrolls to a weighted sum
+    (l_n = Σ_{t≥2} α(1−α)^{n−t} y_t + (1−α)^{n−1} y_1), so DuckDB can
+    verify the exact level the kernel's sequential scan produces."""
+    series = _daily_series(spark, sf_dir)
+    out = forecast(
+        series, ["event_type"], "bucket_start", "y",
+        models={"ses": {"alpha": 0.3}}, horizon=4, freq="1d",
+    )
+    return out.select("event_type", "step", "ds", F.round("yhat", 6).alias("yhat"))
+
+
+def sql_forecast_ses_fixed_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        , indexed AS (
+            SELECT event_type, bucket_start, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   max(bucket_start) OVER (PARTITION BY event_type) AS last_b
+            FROM series
+        ), lvl AS (
+            SELECT event_type, any_value(last_b) AS last_b,
+                   sum(CASE WHEN rn = 1 THEN y * power(0.7, n - 1)
+                            ELSE 0.3 * y * power(0.7, n - rn) END) AS level
+            FROM indexed GROUP BY event_type
+        )
+        SELECT event_type, CAST(s.step AS INTEGER) AS step,
+               last_b + to_seconds(CAST(s.step * 86400 AS BIGINT)) AS ds,
+               round(level, 6) AS yhat
+        FROM lvl CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS step) s
+        """
+    )
+
+
 # --------------------------------------------------------------- features
 
 def q_features_basic(spark, sf_dir):
@@ -509,6 +545,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_historic_avg_1d": q_forecast_historic_avg_1d,
         "forecast_rwd_1d": q_forecast_rwd_1d,
         "forecast_snaive_1h": q_forecast_snaive_1h,
+        "forecast_ses_fixed_1d": q_forecast_ses_fixed_1d,
         "features_basic": q_features_basic,
         "features_change": q_features_change,
         "rolling_window_1d": q_rolling_window_1d,
@@ -528,6 +565,7 @@ def build_oracle_sql() -> dict[str, str]:
         "forecast_historic_avg_1d": sql_forecast_historic_avg_1d(),
         "forecast_rwd_1d": sql_forecast_rwd_1d(),
         "forecast_snaive_1h": sql_forecast_snaive_1h(),
+        "forecast_ses_fixed_1d": sql_forecast_ses_fixed_1d(),
         "features_basic": sql_features_basic(),
         "features_change": sql_features_change(),
         "rolling_window_1d": sql_rolling_window_1d(),
