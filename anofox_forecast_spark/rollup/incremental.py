@@ -1,0 +1,217 @@
+"""Incremental continuous aggregates: merge-by-bucket, resume, retention,
+lineage + metrics tables.
+
+North-rule semantics (BASELINE.json): tier tables are *continuous
+aggregates* maintained incrementally from arriving batches, keyed on
+(series key…, bucket_start); the job is resumable from checkpoints; every
+ingest writes per-partition lineage and metrics rows.
+
+Design (all public Spark; on an Iceberg deployment the partition-overwrite
+becomes ``MERGE INTO`` and the batch-watermark table becomes the snapshot
+log — semantics identical):
+
+- Storage: one parquet dataset per tier, hive-partitioned by
+  ``bucket_date`` (the date of ``bucket_start``). Partition pruning makes
+  bucket-scoped rewrites touch only affected dates.
+- Ingest: the incoming raw batch is rolled up to per-(key, bucket)
+  *partials* (count + sum re-aggregate associatively — the only state the
+  merge needs). Affected partitions = distinct bucket_dates of the
+  partials; existing rows of those partitions are unioned with the
+  partials and re-aggregated, then written back with dynamic partition
+  overwrite (untouched dates are never rewritten or read).
+- Late / out-of-order data: handled by construction — a late row maps to
+  its (old) bucket and merges into it; re-rolled bucket == from-scratch
+  bucket (tested invariant).
+- Resume / idempotence: a batch id log (parquet) records applied batches;
+  re-ingesting an applied batch is a no-op. A crash between the tier write
+  and the log write replays the batch — ingestion is therefore
+  at-least-once, which the merge tolerates ONLY through the log check, so
+  the log is written last and checked first (same contract as Iceberg
+  snapshot-watermark resume).
+- Retention: drop partitions with bucket_date < cutoff (partition-level
+  delete; no data rewrite).
+
+At 100 TB: partials are one hash aggregate over the batch (shuffle by the
+full group key); the merge reads only the affected dates (partition
+pruning), so ingest cost is O(batch + affected-buckets), never O(table).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark.rollup.tiers import bucket_col
+
+
+class IncrementalRollup:
+    """A continuous-aggregate tier table maintained incrementally."""
+
+    MEASURES = ("crawl_count", "text_bytes")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        tier: str,
+        keys: Sequence[str] = ("lang", "host"),
+    ) -> None:
+        self.spark = spark
+        self.tier = tier
+        self.keys = list(keys)
+        self.path = os.path.join(base_path, f"tier={tier}")
+        self.batches_path = os.path.join(base_path, "_state", f"batches_{tier}")
+        self.lineage_path = os.path.join(base_path, "lineage")
+        self.metrics_path = os.path.join(base_path, "metrics")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ------------------------------------------------------------ state
+
+    def applied_batches(self) -> set[str]:
+        if not os.path.exists(self.batches_path):
+            return set()
+        return {
+            r.batch_id
+            for r in self.spark.read.parquet(self.batches_path).select("batch_id").collect()
+        }
+
+    def _log_batch(self, batch_id: str, n_rows: int) -> None:
+        self.spark.createDataFrame(
+            [(batch_id, self.tier, n_rows, float(time.time()))],
+            "batch_id string, tier string, rows long, applied_at double",
+        ).write.mode("append").parquet(self.batches_path)
+
+    def _append_lineage(self, batch_id: str, stage: str, per_partition: DataFrame) -> None:
+        (
+            per_partition.select(
+                F.lit(batch_id).alias("batch_id"),
+                F.col("partition"),
+                F.lit(stage).alias("stage"),
+                F.col("rows").cast("long"),
+                F.current_timestamp().alias("ts"),
+            )
+            .write.mode("append")
+            .parquet(self.lineage_path)
+        )
+
+    def _append_metrics(self, run_id: str, rows: list[tuple[str, str, float]]) -> None:
+        self.spark.createDataFrame(
+            [(run_id, p, m, float(v)) for p, m, v in rows],
+            "run_id string, partition string, metric string, value double",
+        ).write.mode("append").parquet(self.metrics_path)
+
+    # ------------------------------------------------------------ core
+
+    def _partials(self, batch: DataFrame, text_len_col: str = "text") -> DataFrame:
+        from anofox_forecast_spark.sources.pages import host_of
+
+        cols = batch.columns
+        sel = []
+        for k in self.keys:
+            if k == "host" and "host" not in cols:
+                sel.append(host_of(F.col("url")).alias("host"))
+            else:
+                sel.append(F.col(k))
+        return (
+            batch.select(
+                *sel,
+                bucket_col("warc_ts", self.tier).alias("bucket_start"),
+                F.length(text_len_col).alias("__len"),
+            )
+            .groupBy(*self.keys, "bucket_start")
+            .agg(
+                F.count("*").alias("crawl_count"),
+                F.sum("__len").alias("text_bytes"),
+            )
+            .withColumn("bucket_date", F.to_date("bucket_start"))
+        )
+
+    def read(self) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        return df.withColumn(
+            "text_bytes_avg", F.col("text_bytes") / F.col("crawl_count")
+        )
+
+    def ingest(self, batch: DataFrame, batch_id: str | None = None) -> dict:
+        """Merge one raw pages batch into the tier table. Idempotent per
+        batch_id; returns ingest stats."""
+        batch_id = batch_id or uuid.uuid4().hex
+        if batch_id in self.applied_batches():
+            return {"batch_id": batch_id, "skipped": True}
+
+        t0 = time.perf_counter()
+        partials = self._partials(batch).persist()
+        affected = [r.bucket_date for r in partials.select("bucket_date").distinct().collect()]
+        n_partial = partials.count()
+
+        if os.path.exists(self.path):
+            dates = ",".join(f"'{d}'" for d in affected)
+            existing = self.spark.read.parquet(self.path).filter(
+                F.expr(f"bucket_date IN ({dates})") if affected else F.lit(False)
+            )
+            merged = (
+                existing.select(*self.keys, "bucket_start", "crawl_count",
+                                "text_bytes", "bucket_date")
+                .unionByName(partials)
+                .groupBy(*self.keys, "bucket_start", "bucket_date")
+                .agg(
+                    F.sum("crawl_count").alias("crawl_count"),
+                    F.sum("text_bytes").alias("text_bytes"),
+                )
+            )
+        else:
+            merged = partials
+        (
+            merged.repartition("bucket_date")
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(self.path)
+        )
+
+        per_part = (
+            partials.groupBy(F.col("bucket_date").cast("string").alias("partition"))
+            .agg(F.count("*").alias("rows"))
+        )
+        self._append_lineage(batch_id, f"rollup_{self.tier}", per_part)
+        elapsed = time.perf_counter() - t0
+        self._append_metrics(
+            batch_id,
+            [("*", "ingest_seconds", elapsed),
+             ("*", "partial_rows", float(n_partial)),
+             ("*", "affected_partitions", float(len(affected)))],
+        )
+        partials.unpersist()
+        # the batch log is written LAST: a crash before this line replays
+        # the batch on resume; after it, re-ingest is a no-op
+        self._log_batch(batch_id, n_partial)
+        return {
+            "batch_id": batch_id,
+            "skipped": False,
+            "partial_rows": n_partial,
+            "affected_partitions": len(affected),
+            "seconds": elapsed,
+        }
+
+    def apply_retention(self, keep_after: str) -> int:
+        """Drop whole partitions older than ``keep_after`` (YYYY-MM-DD)."""
+        import shutil
+
+        dropped = 0
+        if not os.path.exists(self.path):
+            return 0
+        for entry in os.listdir(self.path):
+            if entry.startswith("bucket_date=") and entry.split("=", 1)[1] < keep_after:
+                shutil.rmtree(os.path.join(self.path, entry))
+                dropped += 1
+        return dropped
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.metrics_path)
