@@ -39,6 +39,20 @@ from anofox_forecast_spark.models.registry import get_model
 ModelSpec = Mapping[str, Mapping] | Sequence[str]
 
 
+def _grouped_apply(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
+    """applyInPandas with a CPU-oriented explicit repartition.
+
+    The model stage is CPU-bound Python, not shuffle-bound: AQE would
+    coalesce a small shuffle (few MB of series data) down to 1-2 partitions
+    and serialize thousands of kernel fits. An EXPLICIT repartition(n, keys)
+    is exempt from AQE coalescing and hash-partitions by the same keys the
+    groupBy needs, so no extra shuffle is introduced.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism * 2, 8)
+    return df.repartition(target, *keys).groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
 def _normalize_models(models: ModelSpec) -> dict[str, dict]:
     if isinstance(models, Mapping):
         return {k: dict(v) for k, v in models.items()}
@@ -90,39 +104,67 @@ def forecast(
     )
     keys_l = list(keys)
 
-    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        if len(pdf) > max_points_per_series:
-            pdf = pdf.iloc[-max_points_per_series:]
-        y = pdf[y_col].to_numpy(dtype=np.float64)
-        last_ts = pdf[ts_col].iloc[-1]
-        key_vals = {k: pdf[k].iloc[0] for k in keys_l}
+    resolved = [(name, get_model(name), params) for name, params in specs.items()]
+    empty = {f.name: [] for f in out_schema.fields}
+
+    def one_series(g: pd.DataFrame, out: dict) -> None:
+        if len(g) > max_points_per_series:
+            g = g.iloc[-max_points_per_series:]
+        y = g[y_col].to_numpy(dtype=np.float64)
+        last_ts = g[ts_col].iloc[-1]
         ds = _future_timestamps(last_ts, horizon, freq)
-        frames = []
-        for name, params in specs.items():
-            kernel = get_model(name)
+        for name, kernel, params in resolved:
             try:
                 res = kernel(y, horizon, level, season_length, **params)
             except Exception:
                 continue
-            frames.append(
-                pd.DataFrame(
-                    {
-                        **{k: [v] * horizon for k, v in key_vals.items()},
-                        "model": name,
-                        "step": np.arange(1, horizon + 1, dtype=np.int32),
-                        "ds": ds,
-                        "yhat": res.yhat,
-                        "lo": res.lo,
-                        "hi": res.hi,
-                    }
-                )
-            )
-        if not frames:
-            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
-        return pd.concat(frames, ignore_index=True)
+            for k in keys_l:
+                out[k].append(np.repeat(g[k].iloc[0], horizon))
+            out["model"].append(np.repeat(name, horizon))
+            out["step"].append(np.arange(1, horizon + 1, dtype=np.int32))
+            out["ds"].append(np.asarray(ds, dtype="datetime64[us]"))
+            out["yhat"].append(res.yhat)
+            out["lo"].append(res.lo)
+            out["hi"].append(res.hi)
 
-    return df.groupBy(*keys_l).applyInPandas(fit_predict, schema=out_schema)
+    def run(batches):
+        # mapInPandas over key-partitioned, key+ts-sorted data: MANY series
+        # per Arrow batch (one pandas frame per ~10k rows instead of one per
+        # series) — grouped-map per-series dispatch otherwise dominates for
+        # short post-rollup series. A series split across batch boundaries
+        # is carried into the next batch (partitions are key-contiguous).
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # hold back the trailing group — it may continue in the next batch
+            if len(pdf) == 0:
+                continue
+            last_key = tuple(pdf[k].iloc[-1] for k in keys_l)
+            mask = np.ones(len(pdf), dtype=bool)
+            for k, v in zip(keys_l, last_key):
+                mask &= (pdf[k] == v).to_numpy()
+            carry = pdf.iloc[mask.nonzero()[0]]
+            body = pdf.iloc[(~mask).nonzero()[0]]
+            if len(body):
+                out = {f.name: [] for f in out_schema.fields}
+                for _, g in body.groupby(keys_l, sort=False):
+                    one_series(g, out)
+                if out["model"]:
+                    yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+        if carry is not None and len(carry):
+            out = {f.name: [] for f in out_schema.fields}
+            for _, g in carry.groupby(keys_l, sort=False):
+                one_series(g, out)
+            if out["model"]:
+                yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+        if False:
+            yield pd.DataFrame(empty)
+
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism * 2, 8)
+    prepared = df.repartition(target, *keys_l).sortWithinPartitions(*keys_l, ts_col)
+    return prepared.mapInPandas(run, schema=out_schema)
 
 
 def fitted_values(
@@ -184,4 +226,4 @@ def fitted_values(
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
         return pd.concat(frames, ignore_index=True)
 
-    return df.groupBy(*keys_l).applyInPandas(fit, schema=out_schema)
+    return _grouped_apply(df, keys_l, fit, out_schema)
