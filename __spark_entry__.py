@@ -30,11 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from anofox_forecast_spark.plans.driver_queries import build_queries
+    from anofox_forecast_spark.plans.webtext_queries import build_queries as wq
 
-    return build_queries()
+    return {**build_queries(), **wq()}
 
 
 def oracle_sql() -> dict[str, str]:
     from anofox_forecast_spark.plans.driver_queries import build_oracle_sql
+    from anofox_forecast_spark.plans.webtext_queries import build_oracle_sql as wo
 
-    return build_oracle_sql()
+    return {**build_oracle_sql(), **wo()}

@@ -236,34 +236,29 @@ def compress_chunks(
 
     chunked = df.withColumn("__chunk", bucket_col(ts_col, chunk_freq))
 
-    # group by SERIES (not series×chunk): one Arrow exchange per series, the
-    # per-chunk split happens in-process — tiny chunk groups would otherwise
-    # pay the grouped-map overhead thousands of times
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        key_vals = {k: pdf[k].iloc[0] for k in keys_l}
-        rows: dict[str, list] = {k: [] for k in keys_l}
-        rows.update({"chunk_start": [], "n_points": [], "ts_blob": [], "val_blob": []})
-        ts_all = pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
-        vals_all = pdf[value_col].to_numpy(dtype=np.float64)
-        chunks = pdf["__chunk"].to_numpy()
+    # batched mapInPandas (many series per Arrow batch); per-chunk split
+    # happens in-process — per-series or per-chunk grouped maps would pay
+    # dispatch overhead thousands of times
+    def encode_series(g: pd.DataFrame, out: dict) -> None:
+        ts_all = g[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
+        vals_all = g[value_col].to_numpy(dtype=np.float64)
+        chunks = g["__chunk"].to_numpy()
         boundaries = np.flatnonzero(chunks[1:] != chunks[:-1]) + 1
         for seg_ts, seg_vals, seg_chunk in zip(
             np.split(ts_all, boundaries),
             np.split(vals_all, boundaries),
             chunks[np.concatenate([[0], boundaries])],
         ):
-            for k, v in key_vals.items():
-                rows[k].append(v)
-            rows["chunk_start"].append(seg_chunk)
-            rows["n_points"].append(np.int32(seg_ts.size))
-            rows["ts_blob"].append(encode_timestamps(seg_ts))
-            rows["val_blob"].append(encode_values(seg_vals))
-        return pd.DataFrame(rows)
+            for k in keys_l:
+                out[k].append([g[k].iloc[0]])
+            out["chunk_start"].append([seg_chunk])
+            out["n_points"].append([np.int32(seg_ts.size)])
+            out["ts_blob"].append([encode_timestamps(seg_ts)])
+            out["val_blob"].append([encode_values(seg_vals)])
 
-    from anofox_forecast_spark.models.harness import _grouped_apply
+    from anofox_forecast_spark.models.harness import batched_series_apply
 
-    return _grouped_apply(chunked, keys_l, encode, out_schema)
+    return batched_series_apply(chunked, keys_l, ts_col, encode_series, out_schema)
 
 
 def decompress_chunks(df, keys: Sequence[str]):

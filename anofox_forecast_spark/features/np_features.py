@@ -1,0 +1,717 @@
+"""tsfresh-compatible scalar feature kernels — full catalog in numpy.
+
+Mirrors the reference's feature modules function-for-function (all cites
+into /root/reference/src/features/): basic.rs, distribution.rs,
+autocorrelation.rs, entropy.rs, complexity.rs, trend.rs, counting.rs,
+change.rs. Each function takes ``y: np.ndarray`` (one series, time order)
+and returns a float. These run inside the grouped-map extractor
+(features.extract) — numpy per series, never per-row Python at the Spark
+layer. NaN marks "undefined" exactly where the reference returns NaN.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ------------------------------------------------------------------ basic
+
+
+def abs_energy(y):  # basic.rs:12
+    return float((y * y).sum())
+
+
+def absolute_maximum(y):  # basic.rs:17
+    return float(np.abs(y).max()) if y.size else np.nan
+
+
+def absolute_sum_of_changes(y):  # basic.rs:27
+    return float(np.abs(np.diff(y)).sum()) if y.size >= 2 else 0.0
+
+
+def length(y):  # basic.rs:35
+    return float(y.size)
+
+
+def maximum(y):  # basic.rs:40
+    return float(y.max()) if y.size else np.nan
+
+
+def mean(y):  # basic.rs:45
+    return float(y.mean()) if y.size else np.nan
+
+
+def mean_abs_change(y):  # basic.rs:53
+    return float(np.abs(np.diff(y)).mean()) if y.size >= 2 else np.nan
+
+
+def mean_change(y):  # basic.rs:61 — telescopes to (last-first)/(n-1)
+    return float((y[-1] - y[0]) / (y.size - 1)) if y.size >= 2 else np.nan
+
+
+def mean_second_derivative_central(y):  # basic.rs:72
+    if y.size < 3:
+        return np.nan
+    return float(((y[2:] - 2 * y[1:-1] + y[:-2]) / 2.0).mean())
+
+
+def mean_n_absolute_max(y, n=7):  # basic.rs:88
+    if y.size == 0 or n == 0:
+        return np.nan
+    a = np.sort(np.abs(y))[::-1]
+    return float(a[: min(n, a.size)].mean())
+
+
+def median(y):  # basic.rs:99
+    return float(np.median(y)) if y.size else np.nan
+
+
+def minimum(y):  # basic.rs:114
+    return float(y.min()) if y.size else np.nan
+
+
+def root_mean_square(y):  # basic.rs:119
+    return float(np.sqrt((y * y).mean())) if y.size else np.nan
+
+
+def standard_deviation(y):  # basic.rs:127 — population
+    return float(y.std()) if y.size else np.nan
+
+
+def sum_values(y):  # basic.rs:132
+    return float(y.sum())
+
+
+def variance(y):  # basic.rs:140 — population
+    return float(y.var()) if y.size else np.nan
+
+
+def variance_sample(y):  # basic.rs:151
+    return float(y.var(ddof=1)) if y.size >= 2 else np.nan
+
+
+# ----------------------------------------------------------- distribution
+
+
+def skewness(y):  # distribution.rs:10 — adjusted factor over population std
+    n = y.size
+    if n < 3:
+        return np.nan
+    s = y.std()
+    if s < 1e-10:
+        return 0.0
+    return float(n / ((n - 1) * (n - 2)) * (((y - y.mean()) / s) ** 3).sum())
+
+
+def kurtosis(y):  # distribution.rs:32 — excess, bias-adjusted over pop std
+    n = y.size
+    if n < 4:
+        return np.nan
+    s = y.std()
+    if s < 1e-10:
+        return np.nan
+    k = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * (((y - y.mean()) / s) ** 4).sum()
+    return float(k - 3.0 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
+
+
+def quantile(y, q=0.5):  # distribution.rs:56 — linear interpolation
+    return float(np.quantile(y, min(max(q, 0.0), 1.0))) if y.size else np.nan
+
+
+def large_standard_deviation(y, r=0.25):  # distribution.rs:86
+    if y.size < 2:
+        return 0.0
+    rng = y.max() - y.min()
+    if rng < 1e-10:
+        return 0.0
+    return float(y.std() > r * rng)
+
+
+def variance_larger_than_standard_deviation(y):  # distribution.rs:104
+    v = variance(y)
+    return float(v > math.sqrt(v)) if not np.isnan(v) else 0.0
+
+
+def variation_coefficient(y):  # distribution.rs:115
+    m = y.mean() if y.size else np.nan
+    if not np.isfinite(m) or abs(m) < 1e-10:
+        return np.nan
+    return float(y.std() / m)
+
+
+def symmetry_looking(y, r=0.05):  # distribution.rs:131
+    if y.size < 2:
+        return 1.0
+    rng = y.max() - y.min()
+    if rng < 1e-10:
+        return 1.0
+    return float(abs((y.mean() - np.median(y)) / rng) < r)
+
+
+def ratio_beyond_r_sigma(y, r=2.0):  # distribution.rs:153
+    if y.size < 2:
+        return np.nan
+    return float((np.abs(y - y.mean()) > r * y.std()).mean())
+
+
+# -------------------------------------------------------- autocorrelation
+
+
+def autocorrelation(y, lag=1):  # autocorrelation.rs:14 — tsfresh norm
+    n = y.size
+    if n <= lag:
+        return np.nan
+    m = y.mean()
+    var = ((y - m) ** 2).sum() / n
+    if var < 1e-10:
+        return 0.0
+    d = y - m
+    return float((d[lag:] * d[:-lag]).sum() / ((n - lag) * var)) if lag else 1.0
+
+
+def partial_autocorrelation(y, lag=1):  # autocorrelation.rs:47 Durbin-Levinson
+    if lag == 0:
+        return 1.0
+    if y.size <= lag:
+        return np.nan
+    acf = np.array([autocorrelation(y, k) if k else 1.0 for k in range(lag + 1)])
+    if np.isnan(acf).any():
+        return np.nan
+    phi = np.zeros((lag + 1, lag + 1))
+    phi[1][1] = acf[1]
+    for k in range(2, lag + 1):
+        num = acf[k] - sum(phi[k - 1][j] * acf[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[k - 1][j] * acf[j] for j in range(1, k))
+        if abs(den) < 1e-10:
+            return np.nan
+        phi[k][k] = num / den
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
+    return float(phi[lag][lag])
+
+
+def agg_autocorrelation(y, max_lag=10, agg="mean"):  # autocorrelation.rs:104
+    if y.size <= max_lag or max_lag == 0:
+        return np.nan
+    vals = np.array([autocorrelation(y, k) for k in range(1, max_lag + 1)])
+    vals = vals[~np.isnan(vals)]
+    if vals.size == 0:
+        return np.nan
+    if agg == "mean":
+        return float(vals.mean())
+    if agg == "var":
+        return float(vals.var(ddof=1)) if vals.size >= 2 else np.nan
+    if agg == "std":
+        return float(np.sqrt(vals.var(ddof=1))) if vals.size >= 2 else np.nan
+    if agg == "median":
+        return float(np.median(vals))
+    return np.nan
+
+
+def time_reversal_asymmetry_statistic(y, lag=1):  # autocorrelation.rs:157
+    n = y.size
+    if n <= 2 * lag:
+        return np.nan
+    a, b, c = y[2 * lag:], y[lag: n - lag], y[: n - 2 * lag]
+    return float((a * a * b - b * c * c).mean())
+
+
+# ---------------------------------------------------------------- entropy
+
+
+def _templates_match_counts(y, m, r):
+    n = y.size
+    nt = n - m
+    count = 0
+    for i in range(nt):
+        d = np.abs(y[i + 1 : i + 1 + nt - i, None] - 0)  # placeholder; loop below
+        break
+    # straightforward O(n²m) double loop, vectorized inner distance
+    for i in range(nt):
+        seg = y[i : i + m]
+        for j in range(i + 1, nt):
+            if np.max(np.abs(seg - y[j : j + m])) <= r:
+                count += 2
+    return count
+
+
+def sample_entropy(y, m=2, r=None):  # entropy.rs:14
+    if y.size < m + 2:
+        return np.nan
+    if r is None:
+        r = 0.2 * y.std()
+    b = _templates_match_counts(y, m, r)
+    a = _templates_match_counts(y, m + 1, r)
+    if a == 0 or b == 0:
+        return np.nan
+    return float(-math.log(a / b))
+
+
+def approximate_entropy(y, m=2, r=None):  # entropy.rs:39
+    if y.size < m + 2:
+        return np.nan
+    if r is None:
+        r = 0.2 * y.std()
+
+    def phi(mm):
+        n = y.size
+        nt = n - mm + 1
+        total = 0.0
+        tpl = np.lib.stride_tricks.sliding_window_view(y, mm)
+        for i in range(nt):
+            cnt = int((np.max(np.abs(tpl - tpl[i]), axis=1) <= r).sum())
+            if cnt > 0:
+                total += math.log(cnt / nt)
+        return total / nt
+
+    return float(phi(m) - phi(m + 1))
+
+
+def permutation_entropy(y, order=3, delay=1, normalized=False):  # entropy.rs:119
+    if order < 2 or y.size < (order - 1) * delay + 1:
+        return np.nan
+    npat = y.size - (order - 1) * delay
+    idx = np.arange(npat)[:, None] + np.arange(order)[None, :] * delay
+    pats = y[idx]
+    ranks = np.argsort(np.argsort(pats, axis=1, kind="stable"), axis=1)
+    _, counts = np.unique(ranks, axis=0, return_counts=True)
+    p = counts / npat
+    h = float(-(p * np.log(p)).sum())
+    if normalized:
+        maxh = math.log(math.factorial(order))
+        return h / maxh if maxh > 0 else h
+    return h
+
+
+def binned_entropy(y, max_bins=10):  # entropy.rs:198
+    if y.size == 0 or max_bins == 0:
+        return np.nan
+    lo, hi = y.min(), y.max()
+    if abs(hi - lo) < 1e-10:
+        return 0.0
+    nb = min(max_bins, y.size)
+    width = (hi - lo) / nb
+    bins = np.minimum(((y - lo) / width).astype(np.int64), nb - 1)
+    counts = np.bincount(bins, minlength=nb)
+    p = counts[counts > 0] / y.size
+    return float(-(p * np.log(p)).sum())
+
+
+def fourier_entropy(y):  # entropy.rs:240 (DFT half-spectrum PSD)
+    n = y.size
+    if n < 4:
+        return np.nan
+    spec = np.fft.fft(y)[: n // 2]
+    psd = (spec.real**2 + spec.imag**2) / n
+    total = psd.sum()
+    if total < 1e-10:
+        return 0.0
+    p = psd / total
+    p = p[p > 1e-10]
+    return float(-(p * np.log(p)).sum())
+
+
+# ------------------------------------------------------------- complexity
+
+
+def cid_ce(y, normalize=True):  # complexity.rs:13
+    if y.size < 2:
+        return 0.0
+    if normalize:
+        s = y.std()
+        if s < 1e-10:
+            return 0.0
+        y = (y - y.mean()) / s
+    return float(np.sqrt((np.diff(y) ** 2).sum()))
+
+
+def c3(y, lag=1):  # complexity.rs:45
+    if y.size <= 2 * lag:
+        return np.nan
+    n = y.size - 2 * lag
+    return float((y[:n] * y[lag : lag + n] * y[2 * lag : 2 * lag + n]).mean())
+
+
+def lempel_ziv_complexity(y, bins=10):  # complexity.rs:66 (tsfresh LZ76)
+    n = y.size
+    if n < 2 or bins == 0:
+        return 0.0
+    lo, hi = y.min(), y.max()
+    if abs(hi - lo) < 1e-10:
+        return 1.0 / n
+    width = (hi - lo) / bins
+    seq = np.minimum(((y - lo) / width).astype(np.int64), bins - 1)
+    seen: set[tuple] = set()
+    ind, inc = 0, 1
+    while ind + inc <= n:
+        sub = tuple(seq[ind : ind + inc])
+        if sub in seen:
+            inc += 1
+        else:
+            seen.add(sub)
+            ind += inc
+            inc = 1
+    return len(seen) / n
+
+
+# ------------------------------------------------------------------ trend
+
+
+def linear_trend(y, attribute="slope"):  # trend.rs:23
+    n = y.size
+    if n < 2:
+        return np.nan
+    x = np.arange(n, dtype=np.float64)
+    mx, my = x.mean(), y.mean()
+    ss_xx = ((x - mx) ** 2).sum()
+    ss_xy = ((x - mx) * (y - my)).sum()
+    if abs(ss_xx) < 1e-10:
+        return {"slope": 0.0, "intercept": my, "rvalue": 0.0,
+                "stderr": np.nan, "pvalue": 1.0}.get(attribute, np.nan)
+    slope = ss_xy / ss_xx
+    intercept = my - slope * mx
+    resid = y - (slope * x + intercept)
+    ss_yy = ((y - my) ** 2).sum()
+    ss_res = (resid**2).sum()
+    r2 = 1.0 if abs(ss_yy) < 1e-10 else 1.0 - ss_res / ss_yy
+    mse = ss_res / (n - 2) if n > 2 else 0.0
+    stderr = math.sqrt(mse / ss_xx) if ss_xx > 0 else np.nan
+    t = slope / stderr if (stderr and stderr > 1e-10) else np.inf
+    pvalue = 2.0 * (1.0 - _normal_cdf(abs(t)))
+    rvalue = math.copysign(math.sqrt(max(r2, 0.0)), slope)
+    return {
+        "slope": float(slope), "intercept": float(intercept),
+        "r_squared": float(r2), "rvalue": float(rvalue),
+        "stderr": float(stderr), "pvalue": float(pvalue),
+    }.get(attribute, np.nan)
+
+
+def _normal_cdf(x):
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def agg_linear_trend(y, chunk_len=5, agg="mean", attribute="slope"):  # trend.rs:115
+    if y.size == 0 or chunk_len == 0 or chunk_len > y.size:
+        return np.nan
+    vals = []
+    for start in range(0, y.size, chunk_len):
+        chunk = y[start : start + chunk_len]
+        if chunk.size >= 2:
+            vals.append(linear_trend(chunk, attribute))
+    vals = np.array([v for v in vals if np.isfinite(v)])
+    if vals.size == 0:
+        return np.nan
+    return {
+        "mean": float(vals.mean()),
+        "var": float(vals.var(ddof=1)) if vals.size >= 2 else np.nan,
+        "std": float(np.sqrt(vals.var(ddof=1))) if vals.size >= 2 else np.nan,
+        "min": float(vals.min()),
+        "max": float(vals.max()),
+    }.get(agg, np.nan)
+
+
+def ar_coefficient_yule_walker(y, k=1, order=4):  # trend.rs:386
+    """AR(order) coefficient k via Yule-Walker equations."""
+    if y.size <= order or k > order:
+        return np.nan
+    r = np.array([autocorrelation(y, i) if i else 1.0 for i in range(order + 1)])
+    if np.isnan(r).any():
+        return np.nan
+    R = np.array([[r[abs(i - j)] for j in range(order)] for i in range(order)])
+    try:
+        phi = np.linalg.solve(R, r[1 : order + 1])
+    except np.linalg.LinAlgError:
+        return np.nan
+    return float(phi[k - 1])
+
+
+def augmented_dickey_fuller(y, attribute="teststat", max_lag=None):  # trend.rs:452
+    """ADF unit-root test statistic: OLS of Δy on y_{t−1} + lagged Δy.
+
+    Lag = floor((n−1)^(1/3)) default (ref :452 doc). Returns the t-stat of
+    the y_{t−1} coefficient ("teststat") or the used lag ("usedlag").
+    """
+    n = y.size
+    if n < 6:
+        return np.nan
+    lag = max_lag if max_lag is not None else int((n - 1) ** (1.0 / 3.0))
+    dy = np.diff(y)
+    rows = n - 1 - lag
+    if rows <= lag + 2:
+        return np.nan
+    X = [np.ones(rows), y[lag : n - 1]]
+    for i in range(1, lag + 1):
+        X.append(dy[lag - i : lag - i + rows])
+    X = np.column_stack(X)
+    target = dy[lag:]
+    beta, *_ = np.linalg.lstsq(X, target, rcond=None)
+    resid = target - X @ beta
+    dof = rows - X.shape[1]
+    if dof <= 0:
+        return np.nan
+    s2 = (resid**2).sum() / dof
+    cov = s2 * np.linalg.pinv(X.T @ X)
+    se = math.sqrt(max(cov[1, 1], 1e-300))
+    t = beta[1] / se
+    if attribute == "usedlag":
+        return float(lag)
+    return float(t)
+
+
+# --------------------------------------------------------------- counting
+
+
+def count_above(y, t=0.0):
+    return float((y > t).sum())
+
+
+def count_below(y, t=0.0):
+    return float((y < t).sum())
+
+
+def count_above_mean(y):
+    return float((y > y.mean()).sum()) if y.size else 0.0
+
+
+def count_below_mean(y):
+    return float((y < y.mean()).sum()) if y.size else 0.0
+
+
+def number_peaks(y, support=3):  # counting.rs:42
+    n = y.size
+    if n < 2 * support + 1 or support == 0:
+        return 0.0
+    count = 0
+    for i in range(support, n - support):
+        if all(y[i] > y[i - j] and y[i] > y[i + j] for j in range(1, support + 1)):
+            count += 1
+    return float(count)
+
+
+def number_crossing_m(y, m=0.0):  # counting.rs:60
+    if y.size < 2:
+        return 0.0
+    a, b = y[:-1], y[1:]
+    return float((((a <= m) & (b > m)) | ((a > m) & (b <= m))).sum())
+
+
+def _longest_strike(mask):
+    best = cur = 0
+    for v in mask:
+        cur = cur + 1 if v else 0
+        best = max(best, cur)
+    return float(best)
+
+
+def longest_strike_above_mean(y):
+    return _longest_strike(y > y.mean()) if y.size else 0.0
+
+
+def longest_strike_below_mean(y):
+    return _longest_strike(y < y.mean()) if y.size else 0.0
+
+
+def first_location_of_maximum(y):
+    return float(np.argmax(y) / y.size) if y.size else np.nan
+
+
+def first_location_of_minimum(y):
+    return float(np.argmin(y) / y.size) if y.size else np.nan
+
+
+def last_location_of_maximum(y):  # counting.rs:133 tsfresh formula
+    return 1.0 - float(np.argmax(y[::-1]) / y.size) if y.size else np.nan
+
+
+def last_location_of_minimum(y):
+    return 1.0 - float(np.argmin(y[::-1]) / y.size) if y.size else np.nan
+
+
+def has_duplicate(y):
+    if y.size < 2:
+        return 0.0
+    s = np.sort(y)
+    return float((np.abs(np.diff(s)) < 1e-10).any())
+
+
+def has_duplicate_max(y):
+    if y.size < 2:
+        return 0.0
+    return float((np.abs(y - y.max()) < 1e-10).sum() > 1)
+
+
+def has_duplicate_min(y):
+    if y.size < 2:
+        return 0.0
+    return float((np.abs(y - y.min()) < 1e-10).sum() > 1)
+
+
+def index_mass_quantile(y, q=0.5):  # counting.rs:199
+    if y.size == 0:
+        return np.nan
+    q = min(max(q, 0.0), 1.0)
+    a = np.abs(y)
+    total = a.sum()
+    if total < 1e-10:
+        return 0.0
+    cs = np.cumsum(a)
+    idx = int(np.searchsorted(cs, q * total))
+    return float((idx + 1) / y.size)
+
+
+def value_count(y, value=0.0):
+    return float((np.abs(y - value) < 1e-10).sum())
+
+
+def range_count(y, lo=-1.0, hi=1.0):
+    return float(((y >= lo) & (y <= hi)).sum())
+
+
+# ------------------------------------------------------------------ change
+
+
+def _discretize(y):
+    return np.round(y * 1e10).astype(np.int64)
+
+
+def change_quantiles(y, q_low=0.0, q_high=0.8, is_abs=True, agg="mean"):  # change.rs:15
+    if y.size < 2:
+        return np.nan
+    lo = np.quantile(y, q_low)
+    hi = np.quantile(y, q_high)
+    a, b = y[:-1], y[1:]
+    mask = (a >= lo) & (a <= hi) & (b >= lo) & (b <= hi)
+    ch = (b - a)[mask]
+    if is_abs:
+        ch = np.abs(ch)
+    if ch.size == 0:
+        return np.nan
+    if agg == "mean":
+        return float(ch.mean())
+    if agg == "var":
+        return float(ch.var(ddof=1)) if ch.size >= 2 else np.nan
+    if agg == "std":
+        return float(np.sqrt(ch.var(ddof=1))) if ch.size >= 2 else np.nan
+    if agg == "median":
+        return float(np.median(ch))
+    return np.nan
+
+
+def energy_ratio_by_chunks(y, n_chunks=10, chunk_index=0):  # change.rs:59
+    if y.size == 0 or n_chunks == 0 or chunk_index >= n_chunks:
+        return np.nan
+    total = (y * y).sum()
+    if total < 1e-10:
+        return 0.0
+    size = -(-y.size // n_chunks)
+    chunk = y[chunk_index * size : (chunk_index + 1) * size]
+    return float((chunk * chunk).sum() / total)
+
+
+def percentage_of_reoccurring_datapoints_to_all_datapoints(y):  # change.rs:84
+    if y.size == 0:
+        return np.nan
+    _, counts = np.unique(_discretize(y), return_counts=True)
+    return float(counts[counts > 1].sum() / y.size)
+
+
+def percentage_of_reoccurring_values_to_all_values(y):  # change.rs:104
+    if y.size == 0:
+        return np.nan
+    _, counts = np.unique(_discretize(y), return_counts=True)
+    if counts.size == 0:
+        return 0.0
+    return float((counts > 1).sum() / counts.size)
+
+
+def ratio_value_number_to_time_series_length(y):  # change.rs:126
+    if y.size == 0:
+        return np.nan
+    return float(np.unique(_discretize(y)).size / y.size)
+
+
+def sum_of_reoccurring_data_points(y):  # change.rs:140
+    keys = _discretize(y)
+    uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+    sums = np.bincount(inv, weights=y)
+    return float(sums[counts > 1].sum())
+
+
+def sum_of_reoccurring_values(y):  # change.rs:160 — first occurrence value
+    keys = _discretize(y)
+    uniq, first_idx, counts = np.unique(keys, return_index=True, return_counts=True)
+    return float(y[first_idx[counts > 1]].sum())
+
+
+# default catalog: name → (fn, default kwargs)
+DEFAULT_FEATURES = {
+    "abs_energy": (abs_energy, {}),
+    "absolute_maximum": (absolute_maximum, {}),
+    "absolute_sum_of_changes": (absolute_sum_of_changes, {}),
+    "length": (length, {}),
+    "maximum": (maximum, {}),
+    "mean": (mean, {}),
+    "mean_abs_change": (mean_abs_change, {}),
+    "mean_change": (mean_change, {}),
+    "mean_second_derivative_central": (mean_second_derivative_central, {}),
+    "mean_n_absolute_max": (mean_n_absolute_max, {"n": 7}),
+    "median": (median, {}),
+    "minimum": (minimum, {}),
+    "root_mean_square": (root_mean_square, {}),
+    "standard_deviation": (standard_deviation, {}),
+    "sum_values": (sum_values, {}),
+    "variance": (variance, {}),
+    "variance_sample": (variance_sample, {}),
+    "skewness": (skewness, {}),
+    "kurtosis": (kurtosis, {}),
+    "quantile_25": (quantile, {"q": 0.25}),
+    "quantile_75": (quantile, {"q": 0.75}),
+    "large_standard_deviation": (large_standard_deviation, {"r": 0.25}),
+    "variance_larger_than_standard_deviation": (variance_larger_than_standard_deviation, {}),
+    "variation_coefficient": (variation_coefficient, {}),
+    "symmetry_looking": (symmetry_looking, {"r": 0.05}),
+    "ratio_beyond_r_sigma": (ratio_beyond_r_sigma, {"r": 2.0}),
+    "autocorrelation_1": (autocorrelation, {"lag": 1}),
+    "autocorrelation_7": (autocorrelation, {"lag": 7}),
+    "partial_autocorrelation_2": (partial_autocorrelation, {"lag": 2}),
+    "agg_autocorrelation_mean": (agg_autocorrelation, {"max_lag": 10, "agg": "mean"}),
+    "time_reversal_asymmetry_statistic": (time_reversal_asymmetry_statistic, {"lag": 1}),
+    "sample_entropy": (sample_entropy, {"m": 2}),
+    "approximate_entropy": (approximate_entropy, {"m": 2}),
+    "permutation_entropy": (permutation_entropy, {"order": 3, "delay": 1}),
+    "binned_entropy": (binned_entropy, {"max_bins": 10}),
+    "fourier_entropy": (fourier_entropy, {}),
+    "cid_ce": (cid_ce, {"normalize": True}),
+    "c3": (c3, {"lag": 1}),
+    "lempel_ziv_complexity": (lempel_ziv_complexity, {"bins": 10}),
+    "linear_trend_slope": (linear_trend, {"attribute": "slope"}),
+    "linear_trend_intercept": (linear_trend, {"attribute": "intercept"}),
+    "linear_trend_r_squared": (linear_trend, {"attribute": "r_squared"}),
+    "agg_linear_trend_mean_slope": (agg_linear_trend, {"chunk_len": 5, "agg": "mean", "attribute": "slope"}),
+    "ar_coefficient_1": (ar_coefficient_yule_walker, {"k": 1, "order": 4}),
+    "augmented_dickey_fuller": (augmented_dickey_fuller, {}),
+    "count_above_mean": (count_above_mean, {}),
+    "count_below_mean": (count_below_mean, {}),
+    "number_peaks": (number_peaks, {"support": 3}),
+    "number_crossing_m": (number_crossing_m, {"m": 0.0}),
+    "longest_strike_above_mean": (longest_strike_above_mean, {}),
+    "longest_strike_below_mean": (longest_strike_below_mean, {}),
+    "first_location_of_maximum": (first_location_of_maximum, {}),
+    "first_location_of_minimum": (first_location_of_minimum, {}),
+    "last_location_of_maximum": (last_location_of_maximum, {}),
+    "last_location_of_minimum": (last_location_of_minimum, {}),
+    "has_duplicate": (has_duplicate, {}),
+    "has_duplicate_max": (has_duplicate_max, {}),
+    "has_duplicate_min": (has_duplicate_min, {}),
+    "index_mass_quantile": (index_mass_quantile, {"q": 0.5}),
+    "change_quantiles": (change_quantiles, {"q_low": 0.0, "q_high": 0.8, "is_abs": True, "agg": "mean"}),
+    "energy_ratio_by_chunks_0": (energy_ratio_by_chunks, {"n_chunks": 10, "chunk_index": 0}),
+    "percentage_of_reoccurring_datapoints_to_all_datapoints": (
+        percentage_of_reoccurring_datapoints_to_all_datapoints, {}),
+    "percentage_of_reoccurring_values_to_all_values": (
+        percentage_of_reoccurring_values_to_all_values, {}),
+    "ratio_value_number_to_time_series_length": (ratio_value_number_to_time_series_length, {}),
+    "sum_of_reoccurring_data_points": (sum_of_reoccurring_data_points, {}),
+    "sum_of_reoccurring_values": (sum_of_reoccurring_values, {}),
+}

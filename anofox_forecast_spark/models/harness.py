@@ -53,6 +53,56 @@ def _grouped_apply(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
     return df.repartition(target, *keys).groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
+def batched_series_apply(df: DataFrame, keys, ts_col, per_series, out_schema) -> DataFrame:
+    """mapInPandas over key-partitioned, key+ts-sorted data: many series per
+    Arrow batch with carry-over for groups split across batch boundaries.
+
+    ``per_series(g: pd.DataFrame, out: dict[str, list])`` appends column
+    blocks (numpy arrays / lists) for one series. This is the shared
+    low-overhead pattern for every per-series kernel (forecast, codec,
+    features): one pandas frame per ~10k rows instead of one per series.
+    """
+    keys_l = list(keys)
+
+    def _flush(body: pd.DataFrame):
+        out = {f.name: [] for f in out_schema.fields}
+        for _, g in body.groupby(keys_l, sort=False):
+            per_series(g, out)
+        if not next(iter(out.values()), None):
+            return None
+        return pd.DataFrame({
+            k: (np.concatenate(v) if isinstance(v[0], np.ndarray) else
+                [x for block in v for x in (block if isinstance(block, list) else [block])])
+            for k, v in out.items()
+        })
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            mask = np.ones(len(pdf), dtype=bool)
+            for k in keys_l:
+                mask &= (pdf[k] == pdf[k].iloc[-1]).to_numpy()
+            carry = pdf.iloc[mask.nonzero()[0]]
+            body = pdf.iloc[(~mask).nonzero()[0]]
+            if len(body):
+                out = _flush(body)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _flush(carry)
+            if out is not None:
+                yield out
+
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism * 2, 8)
+    prepared = df.repartition(target, *keys_l).sortWithinPartitions(*keys_l, ts_col)
+    return prepared.mapInPandas(run, schema=out_schema)
+
+
 def _normalize_models(models: ModelSpec) -> dict[str, dict]:
     if isinstance(models, Mapping):
         return {k: dict(v) for k, v in models.items()}

@@ -52,3 +52,8 @@ def get_model(name: str) -> Callable:
 
 def register(name: str, fn: Callable) -> None:
     MODELS[name] = fn
+
+
+# bottom import: mstl_forecaster self-registers via register("mstl", …);
+# placed after MODELS/register exist so the circular import is benign
+from anofox_forecast_spark.models import mstl_forecaster  # noqa: E402,F401

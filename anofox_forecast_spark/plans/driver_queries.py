@@ -532,6 +532,150 @@ def sql_rolling_window_1d():
     )
 
 
+def q_outliers_zscore_1d(spark, sf_dir):
+    """Pure-SQL z-score outlier flags on the daily count series."""
+    from anofox_forecast_spark.detection.outlier import detect_outliers_spark
+
+    series = _daily_series(spark, sf_dir)
+    out = detect_outliers_spark(series, ["event_type"], "y", method="zscore")
+    return out.select(
+        "event_type", "bucket_start",
+        F.round("outlier_score", 6).alias("outlier_score"), "is_outlier",
+    )
+
+
+def sql_outliers_zscore_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        , stats AS (
+            SELECT event_type, avg(y) AS m, stddev_samp(y) AS s
+            FROM series GROUP BY event_type
+        )
+        SELECT se.event_type, se.bucket_start,
+               round(CASE WHEN coalesce(st.s, 0) < 1e-10 THEN 0
+                          ELSE abs((se.y - st.m) / st.s) END, 6) AS outlier_score,
+               (CASE WHEN coalesce(st.s, 0) < 1e-10 THEN 0
+                     ELSE abs((se.y - st.m) / st.s) END) > 3.0 AS is_outlier
+        FROM series se JOIN stats st USING (event_type)
+        """
+    )
+
+
+def q_scale_standardize_1d(spark, sf_dir):
+    """Per-series z-score scaling with retained center/scale (inverse-able)."""
+    from anofox_forecast_spark.transform.scale import scale_series
+
+    series = _daily_series(spark, sf_dir)
+    out = scale_series(series, ["event_type"], "y", method="standardize")
+    return out.select(
+        "event_type", "bucket_start",
+        F.round("y_scaled", 6).alias("y_scaled"),
+        F.round("__center", 6).alias("center"),
+        F.round("__scale", 6).alias("scale"),
+    )
+
+
+def sql_scale_standardize_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        , stats AS (
+            SELECT event_type, avg(y) AS m,
+                   CASE WHEN coalesce(stddev_samp(y), 0) < 1e-10 THEN 1.0
+                        ELSE stddev_samp(y) END AS s
+            FROM series GROUP BY event_type
+        )
+        SELECT se.event_type, se.bucket_start,
+               round((se.y - st.m) / st.s, 6) AS y_scaled,
+               round(st.m, 6) AS center,
+               round(st.s, 6) AS scale
+        FROM series se JOIN stats st USING (event_type)
+        """
+    )
+
+
+def q_metrics_historic_avg_1d(spark, sf_dir):
+    """Train/test split per series (last 6 buckets held out), historic-average
+    forecast, full accuracy-metrics join — the §2.12 evaluation path."""
+    from pyspark.sql import Window
+
+    from anofox_forecast_spark.evaluation.metrics import accuracy_metrics
+
+    series = _daily_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("bucket_start"))
+    ranked = series.withColumn("__rk", F.row_number().over(w))
+    train = ranked.filter(F.col("__rk") > 6).drop("__rk")
+    test = ranked.filter(F.col("__rk") <= 6).drop("__rk")
+    fc = forecast(
+        train, ["event_type"], "bucket_start", "y",
+        models=["historic_average"], horizon=6, freq="1d",
+    )
+    m = accuracy_metrics(
+        fc, test.withColumnRenamed("bucket_start", "ds"), ["event_type"],
+        seasonal_period=1,
+    )
+    return m.select(
+        "event_type", "model",
+        F.round("mae", 6).alias("mae"),
+        F.round("mse", 6).alias("mse"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("smape", 6).alias("smape"),
+        F.round("r_squared", 6).alias("r_squared"),
+        F.round("mase", 6).alias("mase"),
+    )
+
+
+def sql_metrics_historic_avg_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        , ranked AS (
+            SELECT event_type, bucket_start, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start DESC) AS rk
+            FROM series
+        ), train AS (SELECT * FROM ranked WHERE rk > 6),
+        test AS (SELECT * FROM ranked WHERE rk <= 6),
+        fc AS (
+            SELECT t.event_type, t.bucket_start AS ds, t.y AS actual, m.yhat
+            FROM test t JOIN (
+                SELECT event_type, avg(y) AS yhat FROM train GROUP BY event_type
+            ) m USING (event_type)
+        ), naive_mae2 AS (
+            -- MASE denominator over the ACTUAL (test) history, lag-1 diffs
+            SELECT event_type, avg(abs(d)) AS nm FROM (
+                SELECT event_type,
+                       y - lag(y) OVER (PARTITION BY event_type
+                                        ORDER BY ds) AS d
+                FROM (SELECT event_type, bucket_start AS ds, y FROM test)
+            ) WHERE d IS NOT NULL GROUP BY event_type
+        ), agg AS (
+            SELECT event_type,
+                   avg(abs(actual - yhat)) AS mae,
+                   avg((actual - yhat)^2) AS mse,
+                   sqrt(avg((actual - yhat)^2)) AS rmse,
+                   100.0 * avg(CASE WHEN abs(actual) + abs(yhat) = 0 THEN 0
+                               ELSE 2.0 * abs(actual - yhat)
+                                    / (abs(actual) + abs(yhat)) END) AS smape,
+                   sum((actual - yhat)^2) AS ss_res,
+                   sum(actual^2) AS sum_a2, sum(actual) AS sum_a,
+                   count(*) AS n
+            FROM fc GROUP BY event_type
+        )
+        SELECT a.event_type, 'historic_average' AS model,
+               round(a.mae, 6) AS mae, round(a.mse, 6) AS mse,
+               round(a.rmse, 6) AS rmse, round(a.smape, 6) AS smape,
+               round(CASE WHEN (a.sum_a2 - a.sum_a^2 / a.n) = 0 THEN 1.0
+                          ELSE 1.0 - a.ss_res / (a.sum_a2 - a.sum_a^2 / a.n)
+                     END, 6) AS r_squared,
+               round(CASE WHEN coalesce(nm2.nm, 0) = 0 THEN NULL
+                          ELSE a.mae / nm2.nm END, 6) AS mase
+        FROM agg a LEFT JOIN naive_mae2 nm2 USING (event_type)
+        """
+    )
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tier_rollup_1h": q_tier_rollup_1h,
@@ -549,6 +693,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_basic": q_features_basic,
         "features_change": q_features_change,
         "rolling_window_1d": q_rolling_window_1d,
+        "outliers_zscore_1d": q_outliers_zscore_1d,
+        "scale_standardize_1d": q_scale_standardize_1d,
+        "metrics_historic_avg_1d": q_metrics_historic_avg_1d,
     }
 
 
@@ -569,4 +716,7 @@ def build_oracle_sql() -> dict[str, str]:
         "features_basic": sql_features_basic(),
         "features_change": sql_features_change(),
         "rolling_window_1d": sql_rolling_window_1d(),
+        "outliers_zscore_1d": sql_outliers_zscore_1d(),
+        "scale_standardize_1d": sql_scale_standardize_1d(),
+        "metrics_historic_avg_1d": sql_metrics_historic_avg_1d(),
     }

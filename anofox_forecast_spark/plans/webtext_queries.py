@@ -1,0 +1,210 @@
+"""Webtext driver queries + DuckDB oracles (documents/embeddings tables).
+
+Same conventions as driver_queries.py: identical aliases both sides,
+rounded doubles, BIGINT casts. Hash-based ops (MinHash/SimHash) can't be
+oracled across engines (different hash functions) — those ship as
+rows-only checks; exact-dedup, token counts, language-ID, quality scores,
+and brute-force ANN have full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark.webtext.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from anofox_forecast_spark.webtext.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from anofox_forecast_spark.webtext.text_stats import (
+    STOPWORDS,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def sql_dedup_exact():
+    return """
+        SELECT sha256(text) AS content_hash,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    """
+
+
+def q_text_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def sql_text_token_counts():
+    return r"""
+        SELECT doc_id AS id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS INTEGER) AS bpe_tokens,
+               CAST(length(text) AS INTEGER) AS chars
+        FROM documents
+    """
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def sql_text_quality():
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+        WITH base AS (
+            SELECT doc_id AS id, text,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   regexp_split_to_array(
+                       trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))),
+                       ' +') AS toks
+            FROM documents
+        ), feat AS (
+            SELECT id, n_chars,
+                   CAST(len(toks) AS INTEGER) AS n_words,
+                   round(n_chars / greatest(len(toks), 1), 6) AS mean_word_len,
+                   round(length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g'))
+                         / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(n_chars, 1), 6) AS digit_ratio,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / greatest(n_chars, 1), 6) AS upper_ratio,
+                   round(len(list_filter(toks, x -> list_contains([{stop_list}], x)))
+                         / greatest(len(toks), 1), 6) AS stopword_ratio_en
+            FROM base
+        )
+        SELECT *, round(
+            (CASE WHEN n_words >= 10 THEN 0.4 ELSE n_words / 25.0 END)
+            + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN digit_ratio < 0.2 THEN 0.3 ELSE 0.0 END), 6) AS quality
+        FROM feat
+    """
+
+
+def q_lang_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def sql_lang_id():
+    score_exprs, cols = [], []
+    for lang, words in STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"round(len(list_filter(toks, x -> list_contains([{wl}], x)))"
+            f" / greatest(len(toks), 1), 6) AS score_{lang}"
+        )
+        cols.append(f"score_{lang}")
+    pairs = ", ".join(f"{{'s': {c}, 'l': '{c.split('_')[1]}'}}" for c in cols)
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   regexp_split_to_array(
+                       trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))),
+                       ' +') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT id, {', '.join(score_exprs)} FROM base
+        ), best AS (
+            SELECT *, list_max([{pairs}]) AS b FROM scored
+        )
+        SELECT id,
+               CASE WHEN b['s'] > 0.0 THEN b['l'] ELSE 'unknown' END AS lang_guess,
+               {', '.join(cols)}
+        FROM best
+    """
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_cosine_topk(emb, queries, k=5)
+
+
+def sql_ann_cosine_topk():
+    return """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                   WHERE vec_id < 10),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qv AS DOUBLE[])) AS cos_raw
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+# rows-only (hash-based; no cross-engine oracle possible)
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), "doc_id", "text", n_hashes=32, bands=8,
+        est_threshold=0.2,
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_near_dups(_docs(spark, sf_dir), "doc_id", "text", max_hamming=10)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2,
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, k=5)
+
+
+def build_queries():
+    return {
+        "dedup_exact": q_dedup_exact,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
+
+
+def build_oracle_sql():
+    return {
+        "dedup_exact": sql_dedup_exact(),
+        "text_token_counts": sql_text_token_counts(),
+        "text_quality": sql_text_quality(),
+        "text_lang_id": sql_lang_id(),
+        "ann_cosine_topk": sql_ann_cosine_topk(),
+        # hash-based ops intentionally omitted → rows-only driver check
+    }

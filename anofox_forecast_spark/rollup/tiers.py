@@ -81,6 +81,31 @@ def rollup_pages(pages: DataFrame, tier: str = "1h") -> DataFrame:
     )
 
 
+def project_pages(pages: DataFrame) -> DataFrame:
+    """Column-prune pages to the rollup inputs: (lang, host, warc_ts,
+    text_len). At 100 TB this is the difference between shuffling/caching
+    terabytes of html/text payload and a few GB of keys+lengths — do it
+    BEFORE any persist or shuffle."""
+    return pages.select(
+        "lang",
+        host_of(F.col("url")).alias("host"),
+        "warc_ts",
+        F.length("text").alias("text_len"),
+    )
+
+
+def rollup_projected(slim: DataFrame, tier: str = "1h") -> DataFrame:
+    """Tier rollup over a ``project_pages`` frame."""
+    return (
+        slim.groupBy("lang", "host", bucket_col("warc_ts", tier).alias("bucket_start"))
+        .agg(
+            F.count("*").alias("crawl_count"),
+            F.sum("text_len").alias("text_bytes"),
+            (F.sum("text_len") / F.count("*")).alias("text_bytes_avg"),
+        )
+    )
+
+
 def cascade_rollup(tier_df: DataFrame, to_tier: str, keys: Sequence[str] = ("lang", "host")) -> DataFrame:
     """Re-aggregate a finer tier into a coarser one (1h→1d, 1d→7d)."""
     return (

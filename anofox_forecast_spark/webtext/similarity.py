@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_cosine_topk: exact top-k neighbors; dot products via
+  F.aggregate/zip_with (JVM-side) after per-vector L2 normalization; the
+  query side is broadcast (queries ≪ corpus at scale).
+- lsh_cosine_topk: random-hyperplane LSH — deterministic planes from a
+  seeded numpy RNG broadcast as literals, signature = bit-pack of
+  sign(v·p); candidates from signature-prefix buckets, exact cosine only
+  on candidates. This is the 100-TB path: the brute force is the
+  correctness baseline, LSH bounds the join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) excluded. Queries are broadcast.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH bucketing.
+
+    n_tables independent signatures; candidates = bucket collisions in any
+    table; exact cosine computed only on candidates.
+    """
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+
+    def signature(vec_col_name: str, t: int):
+        bits = []
+        for p in range(n_planes):
+            lits = [float(v) for v in planes[t, p]]
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col_name),
+                    F.array(*[F.lit(v) for v in lits]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    def with_buckets(df, prefix):
+        out = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias(f"{prefix}_v"),
+        )
+        out = out.withColumn(f"{prefix}_n", _norm(F.col(f"{prefix}_v")))
+        sigs = [signature(f"{prefix}_v", t) for t in range(n_tables)]
+        return out.withColumn(
+            "bucket",
+            F.explode(F.array(*[
+                F.concat_ws(":", F.lit(t), s.cast("string")) for t, s in enumerate(sigs)
+            ])),
+        )
+
+    cb = with_buckets(corpus, "c")
+    qb = with_buckets(queries, "q")
+    cand = (
+        cb.join(qb, on="bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    cos = _dot(F.col("c_v"), F.col("q_v")) / (F.col("c_n") * F.col("q_n"))
+    scored = cand.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,120 @@
+"""Webtext operators: dedup, similarity, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark.webtext.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from anofox_forecast_spark.webtext.multimodal import extract_media_features, synthesize_media
+from anofox_forecast_spark.webtext.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from anofox_forecast_spark.webtext.text_stats import language_id, quality_scores, token_counts
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (2, "completely different content about spark rollup tiers and windows"),
+    (3, "the quick brown fox jumps over the lazy dog again and again today"),  # dup of 0
+    (4, "der hund und die katze sind nicht mit der maus auf ein haus"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text").toPandas()
+    assert len(out) == 4  # 5 docs, one exact dup pair
+    dup = out[out.n_dups == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=3, threshold=0.5).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 3) in pairs  # exact dup → jaccard 1.0
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup (one word differs)
+    j03 = out[(out.id_a == 0) & (out.id_b == 3)]["jaccard"].iloc[0]
+    assert j03 == 1.0
+    assert (2 not in set(out.id_a)) and (2 not in set(out.id_b))
+
+
+def test_minhash_lsh_candidates(spark):
+    out = minhash_lsh_candidates(
+        _docs(spark), "doc_id", "text", n_hashes=32, bands=8, est_threshold=0.3
+    ).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 3) in pairs
+    est = out[(out.id_a == 0) & (out.id_b == 3)]["est_jaccard"].iloc[0]
+    assert est == 1.0  # identical text → identical signature
+
+
+def test_simhash_near_dups(spark):
+    sig = simhash_signatures(_docs(spark), "doc_id", "text").toPandas().set_index("id")
+    assert sig.loc[0, "simhash"] == sig.loc[3, "simhash"]  # identical docs
+    out = simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=8).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 3) in pairs
+
+
+def test_brute_force_cosine_topk(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.01 * rng.normal(size=8)]),  # near 0
+        (2, [float(x) for x in -base]),  # opposite
+        (3, [float(x) for x in rng.normal(size=8)]),
+        (4, [float(x) for x in rng.normal(size=8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).toPandas()
+    assert out.sort_values("rank").iloc[0]["neighbor_id"] == 1
+    assert out.iloc[0]["cosine"] > 0.99
+    assert 2 not in out["neighbor_id"].tolist()  # opposite vector never top-2
+
+
+def test_lsh_cosine_recall(spark):
+    rng = np.random.default_rng(42)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(100)]
+    # plant a near-duplicate of vec 0
+    rows.append((100, [v + 0.001 for v in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = lsh_cosine_topk(df, q, k=3, n_planes=8, n_tables=6, dim=16).toPandas()
+    assert 100 in out["neighbor_id"].tolist()  # near-dup lands in a shared bucket
+
+
+def test_token_counts_and_quality(spark):
+    out = token_counts(_docs(spark), "doc_id", "text").toPandas().set_index("id")
+    assert out.loc[0, "ws_tokens"] == 13
+    q = quality_scores(_docs(spark), "doc_id", "text").toPandas().set_index("id")
+    assert (q["punct_ratio"] == 0.0).all()
+    assert q.loc[0, "n_words"] == 13
+    assert q.loc[0, "quality"] >= 0.9  # long, clean text
+
+
+def test_language_id(spark):
+    out = language_id(_docs(spark), "doc_id", "text").toPandas().set_index("id")
+    assert out.loc[0, "lang_guess"] == "en"
+    assert out.loc[4, "lang_guess"] == "de"
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=30)
+    out = extract_media_features(media).toPandas()
+    assert len(out) == 30
+    assert (out["n_bytes"] > 0).all()
+    assert out["features"].map(len).eq(32).all()
+    # deterministic: same payload → same features
+    again = extract_media_features(media).toPandas()
+    a = [list(v) for v in out.sort_values("media_id")["features"]]
+    b = [list(v) for v in again.sort_values("media_id")["features"]]
+    assert a == b

@@ -35,14 +35,14 @@ def build_pyfiles() -> str:
     return zpath
 
 
-def run_level(cores: int, pages: int, zpath: str, shuffle: int) -> dict:
+def run_level(cores: int, pages: int, zpath: str, shuffle: int, hosts: int = 500) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
     cmd = [
         spark_submit,
         "--master", f"local[{cores}]",
-        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.driver.memory=24g",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
@@ -50,7 +50,9 @@ def run_level(cores: int, pages: int, zpath: str, shuffle: int) -> dict:
         "--py-files", zpath,
         os.path.join(REPO, "jobs", "pipeline_job.py"),
         "--pages", str(pages),
+        "--hosts", str(hosts),
         "--shuffle-partitions", str(shuffle),
+        "--repeat", "2",
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     for line in reversed(out.stdout.strip().splitlines()):
@@ -63,13 +65,14 @@ def run_level(cores: int, pages: int, zpath: str, shuffle: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=1_000_000)
+    ap.add_argument("--hosts", type=int, default=500)
     ap.add_argument("--n", type=int, default=8, help="small cluster size (4N = big)")
     ap.add_argument("--shuffle-partitions", type=int, default=64)
     args = ap.parse_args()
 
     zpath = build_pyfiles()
-    small = run_level(args.n, args.pages, zpath, args.shuffle_partitions)
-    big = run_level(args.n * 4, args.pages, zpath, args.shuffle_partitions)
+    small = run_level(args.n, args.pages, zpath, args.shuffle_partitions, args.hosts)
+    big = run_level(args.n * 4, args.pages, zpath, args.shuffle_partitions, args.hosts)
 
     stages = [k for k in small["timings"] if k != "synthesize"]
     rows = []
