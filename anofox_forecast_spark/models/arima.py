@@ -1,0 +1,384 @@
+"""ARIMA / SARIMA / AutoARIMA kernels.
+
+Semantics from ref src/models/arima/ (fresh numpy implementation):
+
+- difference/integrate (diff.rs:11-93): iterative first differences;
+  integration re-cumsums from the per-level last values of the original.
+- seasonal difference/integrate (diff.rs:35-52, model.rs:840-867):
+  z_t − z_{t−s}, inverted against the retained tail of the
+  non-seasonally-differenced series.
+- ARIMA CSS (model.rs:230-256): conditional sum of squares with CENTERED
+  AR terms (ar_i · (y_{t−1−i} − intercept)) + MA on running residuals;
+  NM over (intercept, ar…, ma…), AR/MA bounds ±0.99, start
+  intercept=mean, coeffs 0.1/(i+1), 1000 iters tol 1e-8.
+- SARIMA CSS (model.rs:880-1030): UNCENTERED AR/SAR terms + multiplicative
+  interaction terms (−ar·sar at lag i+1+(j+1)s for AR; +ma·sma for MA);
+  NM 2000 iters.
+- fit order (model.rs:1366-1456): regular differencing d first, then
+  seasonal D; integration inverts seasonal first, then regular.
+- intervals (model.rs:594-624): σ²·h cumulative variance.
+- AutoARIMA (auto_arima.rs): d from the variance-ratio
+  suggest_differencing (diff.rs:102-130) ± 1 neighbor; grid-stepwise
+  candidate set {(0,0),(1,0),(0,1),(1,1),(2,0),(0,2),(2,1),(1,2),(2,2)}
+  (+ seasonal (P,Q) ∈ {(0,1),(1,0),(1,1),(2,0),(0,2)} when s>1); min-AIC
+  selection; needs n ≥ 10 (3s seasonal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from anofox_forecast_spark.models._numerics import nelder_mead
+from anofox_forecast_spark.models.kernels import (
+    InsufficientData,
+    KernelResult,
+    _interval,
+    mean_sq,
+)
+
+_LN_2PI = float(np.log(2.0 * np.pi))
+
+
+def difference(y: np.ndarray, d: int) -> np.ndarray:
+    out = np.asarray(y, dtype=np.float64)
+    for _ in range(d):
+        if out.size <= 1:
+            break
+        out = np.diff(out)
+    return out
+
+
+def seasonal_difference(y: np.ndarray, D: int, s: int) -> np.ndarray:
+    out = np.asarray(y, dtype=np.float64)
+    for _ in range(D):
+        if out.size <= s:
+            break
+        out = out[s:] - out[:-s]
+    return out
+
+
+def integrate(diff_fc: np.ndarray, original: np.ndarray, d: int) -> np.ndarray:
+    """Invert d regular differences for a forecast continuation
+    (ref diff.rs:55-93)."""
+    result = np.asarray(diff_fc, dtype=np.float64).copy()
+    for level in range(d - 1, -1, -1):
+        init = difference(original, level)[-1] if level > 0 else original[-1]
+        result = init + np.cumsum(result)
+    return result
+
+
+def seasonal_integrate(diff_fc: np.ndarray, last_values: np.ndarray, D: int, s: int) -> np.ndarray:
+    """Invert D seasonal differences using the retained history tail
+    (ref model.rs:840-867)."""
+    result = np.asarray(diff_fc, dtype=np.float64).copy()
+    for _ in range(D):
+        hist = np.asarray(last_values, dtype=np.float64)
+        integrated = np.empty(result.size)
+        for h in range(result.size):
+            if h < s:
+                idx = hist.size - s + h
+                prev = hist[idx] if 0 <= idx < hist.size else 0.0
+            else:
+                prev = integrated[h - s]
+            integrated[h] = result[h] + prev
+        result = integrated
+    return result
+
+
+def suggest_differencing(y: np.ndarray, max_d: int = 2) -> int:
+    """Variance-ratio heuristic (ref diff.rs:102-130)."""
+    if y.size < 3:
+        return 0
+    var0 = y.var()
+    d1 = np.diff(y)
+    if d1.size < 2:
+        return 0
+    var1 = d1.var()
+    if var0 > 0 and var1 / var0 < 0.9:
+        d2 = np.diff(d1)
+        if d2.size >= 2:
+            var2 = d2.var()
+            if var1 > 0 and var2 / var1 < 0.9 and var2 < var0 and max_d >= 2:
+                return 2
+        return min(1, max_d)
+    return 0
+
+
+def _css_arima(z: np.ndarray, p: int, q: int, ar, ma, intercept: float) -> float:
+    """Non-seasonal CSS, centered AR convention (ref model.rs:230-256)."""
+    n = z.size
+    start = max(p, q)
+    if n <= start:
+        return np.finfo(np.float64).max
+    resid = np.zeros(n)
+    css = 0.0
+    for t in range(start, n):
+        pred = intercept
+        for i in range(p):
+            pred += ar[i] * (z[t - 1 - i] - intercept)
+        for i in range(q):
+            pred += ma[i] * resid[t - 1 - i]
+        e = z[t] - pred
+        resid[t] = e
+        css += e * e
+    return css
+
+
+def _predict_sarima(z, resid, params, spec, h):
+    """Extend the differenced series h steps (future residuals = 0)."""
+    p, q, P, Q, s = spec
+    intercept, ar, ma, sar, sma = params
+    zz = list(z)
+    rr = list(resid)
+    seasonal = P > 0 or Q > 0
+    for _ in range(h):
+        t = len(zz)
+        pred = intercept
+        if not seasonal:
+            for i in range(p):
+                if t > i:
+                    pred += ar[i] * (zz[t - 1 - i] - intercept)
+            for i in range(q):
+                if t > i:
+                    pred += ma[i] * rr[t - 1 - i]
+        else:
+            for i in range(p):
+                if t >= i + 1:
+                    pred += ar[i] * zz[t - 1 - i]
+            for j in range(P):
+                lag = (j + 1) * s
+                if t >= lag:
+                    pred += sar[j] * zz[t - lag]
+            for i in range(p):
+                for j in range(P):
+                    lag = (i + 1) + (j + 1) * s
+                    if t >= lag:
+                        pred -= ar[i] * sar[j] * zz[t - lag]
+            for i in range(q):
+                if t >= i + 1:
+                    pred += ma[i] * rr[t - 1 - i]
+            for j in range(Q):
+                lag = (j + 1) * s
+                if t >= lag:
+                    pred += sma[j] * rr[t - lag]
+            for i in range(q):
+                for j in range(Q):
+                    lag = (i + 1) + (j + 1) * s
+                    if t >= lag:
+                        pred += ma[i] * sma[j] * rr[t - lag]
+        zz.append(pred)
+        rr.append(0.0)
+    return np.array(zz[len(z):])
+
+
+def _css_sarima(z, p, q, P, Q, s, ar, ma, sar, sma, intercept) -> float:
+    """Seasonal CSS, uncentered + interaction terms (ref model.rs:880-975)."""
+    n = z.size
+    max_ar = p + P * s if (P > 0 and s > 1) else max(p, P * s)
+    max_ma = q + Q * s if (Q > 0 and s > 1) else max(q, Q * s)
+    start = max(max_ar, max_ma)
+    if n <= start:
+        return np.finfo(np.float64).max
+    resid = np.zeros(n)
+    css = 0.0
+    for t in range(start, n):
+        pred = intercept
+        for i in range(p):
+            pred += ar[i] * z[t - 1 - i]
+        for j in range(P):
+            pred += sar[j] * z[t - (j + 1) * s]
+        for i in range(p):
+            for j in range(P):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred -= ar[i] * sar[j] * z[t - lag]
+        for i in range(q):
+            pred += ma[i] * resid[t - 1 - i]
+        for j in range(Q):
+            pred += sma[j] * resid[t - (j + 1) * s]
+        for i in range(q):
+            for j in range(Q):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred += ma[i] * sma[j] * resid[t - lag]
+        e = z[t] - pred
+        resid[t] = e
+        css += e * e
+    return css
+
+
+def arima(
+    y: np.ndarray,
+    h: int,
+    level: float = 0.95,
+    m: int = 1,
+    order: tuple = (1, 1, 1),
+    seasonal_order: tuple = (0, 0, 0),
+) -> KernelResult:
+    """ARIMA(p,d,q) / SARIMA(p,d,q)(P,D,Q)[m] via Nelder-Mead CSS."""
+    p, d, q = order
+    P, D, Q = seasonal_order
+    s = m if (P or D or Q) else 1
+    seasonal = s > 1 and (P > 0 or D > 0 or Q > 0)
+    n = y.size
+    seasonal_lag = max(P, Q) * s if seasonal else 0
+    min_len = d + D * s + max(p, q, seasonal_lag) + 2
+    if n < max(min_len, 4):
+        raise InsufficientData(f"need {min_len}, got {n}")
+    y = np.asarray(y, dtype=np.float64)
+
+    nonseasonal_diff = difference(y, d)
+    if seasonal and D > 0:
+        retain = D * s + s
+        seasonal_last = nonseasonal_diff[max(nonseasonal_diff.size - retain, 0):]
+        z = seasonal_difference(nonseasonal_diff, D, s)
+    else:
+        seasonal_last = np.empty(0)
+        z = nonseasonal_diff
+    if z.size == 0:
+        raise InsufficientData("differenced series empty")
+
+    mean = float(z.mean())
+    if not seasonal:
+        if p == 0 and q == 0:
+            intercept, ar, ma = mean, np.empty(0), np.empty(0)
+        else:
+            init = np.concatenate([[mean], [0.1 / (i + 1) for i in range(p)],
+                                   [0.1 / (i + 1) for i in range(q)]])
+            bounds = [(-np.inf, np.inf)] + [(-0.99, 0.99)] * (p + q)
+            pt = nelder_mead(
+                lambda v: _css_arima(z, p, q, v[1:1 + p], v[1 + p:], v[0]),
+                init, bounds, max_iter=1000, tolerance=1e-8,
+            )
+            intercept, ar, ma = float(pt[0]), pt[1:1 + p], pt[1 + p:]
+        sar, sma = np.empty(0), np.empty(0)
+        start = max(p, q)
+    else:
+        kpq = p + q + P + Q
+        if kpq == 0:
+            intercept, ar, ma, sar, sma = mean, *(np.empty(0),) * 4
+        else:
+            init = [mean]
+            for count in (p, q, P, Q):
+                init += [0.1 / (i + 1) for i in range(count)]
+            bounds = [(-np.inf, np.inf)] + [(-0.99, 0.99)] * kpq
+            def obj(v):
+                i1, i2, i3 = 1 + p, 1 + p + q, 1 + p + q + P
+                return _css_sarima(z, p, q, P, Q, s,
+                                   v[1:i1], v[i1:i2], v[i2:i3], v[i3:], v[0])
+            pt = nelder_mead(obj, init, bounds, max_iter=2000, tolerance=1e-8)
+            i1, i2, i3 = 1 + p, 1 + p + q, 1 + p + q + P
+            intercept = float(pt[0])
+            ar, ma, sar, sma = pt[1:i1], pt[i1:i2], pt[i2:i3], pt[i3:]
+        max_ar = p + P * s if P > 0 else max(p, P * s)
+        max_ma = q + Q * s if Q > 0 else max(q, Q * s)
+        start = max(max_ar, max_ma)
+
+    # fitted/residuals on the differenced scale (ref model.rs:322-365)
+    nz = z.size
+    fitted_d = np.full(nz, np.nan)
+    resid = np.zeros(nz)
+    for t in range(start, nz):
+        pred = intercept
+        if not seasonal:
+            for i in range(p):
+                pred += ar[i] * (z[t - 1 - i] - intercept)
+            for i in range(q):
+                pred += ma[i] * resid[t - 1 - i]
+        else:
+            for i in range(p):
+                pred += ar[i] * z[t - 1 - i]
+            for j in range(P):
+                pred += sar[j] * z[t - (j + 1) * s]
+            for i in range(p):
+                for j in range(P):
+                    lag = (i + 1) + (j + 1) * s
+                    if t >= lag:
+                        pred -= ar[i] * sar[j] * z[t - lag]
+            for i in range(q):
+                pred += ma[i] * resid[t - 1 - i]
+            for j in range(Q):
+                pred += sma[j] * resid[t - (j + 1) * s]
+            for i in range(q):
+                for j in range(Q):
+                    lag = (i + 1) + (j + 1) * s
+                    if t >= lag:
+                        pred += ma[i] * sma[j] * resid[t - lag]
+        fitted_d[t] = pred
+        resid[t] = z[t] - pred
+
+    valid = resid[start:]
+    variance = mean_sq(valid)
+    k = 1 + p + q + P + Q
+    n_eff = valid.size
+    ll = -0.5 * n_eff * (1.0 + np.log(max(variance, 1e-300)) + _LN_2PI)
+    aic = -2.0 * ll + 2.0 * k
+    bic = -2.0 * ll + k * np.log(max(n_eff, 1))
+
+    fc_diff = _predict_sarima(z, resid, (intercept, ar, ma, sar, sma),
+                              (p, q, P, Q, s), h)
+    if seasonal and D > 0:
+        fc_diff = seasonal_integrate(fc_diff, seasonal_last, D, s)
+    yhat = integrate(fc_diff, y, d) if d > 0 else fc_diff
+
+    hs = np.arange(1, h + 1, dtype=np.float64)
+    lo, hi = _interval(yhat, np.sqrt(variance * hs), level)
+    return KernelResult(
+        yhat, lo, hi, fitted_d, resid,
+        {"order": (p, d, q), "seasonal_order": (P, D, Q, s),
+         "intercept": intercept, "ar": list(map(float, ar)),
+         "ma": list(map(float, ma)), "aic": aic, "bic": bic},
+    )
+
+
+_NONSEASONAL_GRID = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 1), (1, 2), (2, 2)]
+_SEASONAL_GRID = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (0, 2)]
+
+
+def auto_arima(
+    y: np.ndarray,
+    h: int,
+    level: float = 0.95,
+    m: int = 1,
+    max_p: int = 5,
+    max_q: int = 5,
+    max_d: int = 2,
+    seasonal: bool | None = None,
+) -> KernelResult:
+    """Grid-stepwise AutoARIMA, min-AIC (ref auto_arima.rs:608-700)."""
+    n = y.size
+    s = m if (seasonal if seasonal is not None else m > 1) else 1
+    min_required = 3 * s if s > 1 else 10
+    if n < min_required:
+        raise InsufficientData(f"need {min_required}, got {n}")
+    d0 = suggest_differencing(y, max_d)
+    d_range = sorted({d0, max(d0 - 1, 0), min(d0 + 1, max_d)})
+    if s > 1:
+        sd = seasonal_difference(y, 1, s)
+        cap_d_range = [0, 1] if sd.size > 2 and sd.var() / max(y.var(), 1e-300) < 0.9 else [0]
+    else:
+        cap_d_range = [0]
+
+    best, best_aic, scores = None, np.inf, {}
+    for d in d_range:
+        for D in cap_d_range:
+            for (p, q) in _NONSEASONAL_GRID:
+                if p > max_p or q > max_q:
+                    continue
+                seasonal_opts = _SEASONAL_GRID if s > 1 else [(0, 0)]
+                for (P, Q) in seasonal_opts:
+                    if s > 1 and (P, Q) != (0, 0) and (p, q) not in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                        continue  # limit seasonal grid to small nonseasonal cores
+                    try:
+                        r = arima(y, h, level, s, order=(p, d, q),
+                                  seasonal_order=(P, D, Q))
+                    except Exception:
+                        continue
+                    key = f"({p},{d},{q})({P},{D},{Q})[{s}]"
+                    scores[key] = r.params["aic"]
+                    if np.isfinite(r.params["aic"]) and r.params["aic"] < best_aic:
+                        best, best_aic = r, r.params["aic"]
+    if best is None:
+        raise InsufficientData("no ARIMA candidate fit")
+    best.params["scores_top"] = dict(sorted(scores.items(), key=lambda kv: kv[1])[:5])
+    return best

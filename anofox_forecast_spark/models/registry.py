@@ -42,6 +42,15 @@ MODELS: dict[str, Callable] = {
     "ensemble": T.ensemble,
 }
 
+# ARIMA family registers below (import placed after MODELS exists to keep
+# the module graph acyclic — arima.py imports kernels only)
+from anofox_forecast_spark.models.arima import arima, auto_arima  # noqa: E402
+from anofox_forecast_spark.models.garch import garch  # noqa: E402
+
+MODELS["arima"] = arima
+MODELS["auto_arima"] = auto_arima
+MODELS["garch"] = garch
+
 
 def get_model(name: str) -> Callable:
     try:
