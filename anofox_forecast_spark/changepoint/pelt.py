@@ -12,7 +12,9 @@ Semantics from ref src/changepoint/pelt.rs and cost.rs (fresh numpy impl):
     Normal:  n·ln(var_pop) (0 if var<1e-10 or n<2)
     Poisson: n·x̄ − Σx·ln(x̄)
     LinearTrend: RSS of y ~ a + b·i (prefix forms incl. Σi·x)
-    MeanVariance: Normal (mean+variance shifts both move var)
+    MeanVariance: n·(1 + ln var_pop) (cost.rs:160-180)
+    CUSUM: max |cum deviation from segment mean| (cost.rs:189-207)
+    Periodicity: unexplained variance after top-3 frequencies (cost.rs:217)
 
 The Spark surface runs the DP per series inside the grouped map —
 sequential per series, parallel across series (SURVEY §2.10).
@@ -46,7 +48,7 @@ def _make_cost(y: np.ndarray, cost_fn: str):
             sm = cs[t] - cs[s]
             return (cs2[t] - cs2[s]) - sm * sm / m
         return cost
-    if cost_fn in ("normal", "mean_variance"):
+    if cost_fn == "normal":
         def cost(s, t):
             m = t - s
             if m < 2:
@@ -56,6 +58,47 @@ def _make_cost(y: np.ndarray, cost_fn: str):
             if var < 1e-10:
                 return 0.0
             return m * np.log(var)
+        return cost
+    if cost_fn == "mean_variance":
+        # ref cost.rs:160-180: n * (1 + ln(var_pop))
+        def cost(s, t):
+            m = t - s
+            if m < 2:
+                return 0.0
+            sm = cs[t] - cs[s]
+            var = ((cs2[t] - cs2[s]) - sm * sm / m) / m
+            if var < 1e-10:
+                return 0.0
+            return m * (1.0 + np.log(var))
+        return cost
+    if cost_fn == "cusum":
+        # ref cost.rs:189-207: max |cumulative deviation from segment mean|
+        def cost(s, t):
+            seg = y[s:t]
+            if seg.size < 2:
+                return 0.0
+            dev = np.cumsum(seg - seg.mean())
+            return float(np.abs(dev).max())
+        return cost
+    if cost_fn == "periodicity":
+        # ref cost.rs:217-255: unexplained variance after top-3 frequencies
+        def cost(s, t):
+            seg = y[s:t]
+            m = seg.size
+            if m < 8:
+                sm = seg.sum()
+                return float((seg * seg).sum() - sm * sm / m)
+            mean = seg.mean()
+            tv = float(((seg - mean) ** 2).sum())
+            if tv < 1e-10:
+                return 0.0
+            spec = np.fft.rfft(seg - mean)
+            psd = (spec.real ** 2 + spec.imag ** 2)[1:] / m
+            total = psd.sum()
+            if total < 1e-10:
+                return tv
+            top = np.sort(psd)[::-1][: min(3, psd.size)].sum()
+            return tv * (1.0 - (top / total) * 0.9)
         return cost
     if cost_fn == "poisson":
         def cost(s, t):

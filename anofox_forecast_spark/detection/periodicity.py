@@ -183,3 +183,83 @@ def detect_period(y: np.ndarray, method: str = "sazed", **kwargs) -> int | None:
         "sazed": sazed_detect,
     }[method]
     return fn(y, **kwargs)
+
+
+def welch_periodogram(y: np.ndarray, window_size: int = 64, overlap: float = 0.5) -> np.ndarray:
+    """Welch-averaged PSD with Hann windows (ref fft.rs:147-190).
+
+    Returns averaged PSD at frequencies k=0..window_size/2.
+    """
+    n = y.size
+    if n < window_size or window_size < 4:
+        return periodogram(y)
+    overlap = min(max(overlap, 0.0), 0.9)
+    hop = max(int(np.ceil((1.0 - overlap) * window_size)), 1)
+    hann = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(window_size) / window_size))
+    acc = None
+    count = 0
+    start = 0
+    while start + window_size <= n:
+        seg = y[start : start + window_size] * hann
+        spec = np.fft.rfft(seg - seg.mean())
+        psd = (spec.real**2 + spec.imag**2) / window_size
+        acc = psd if acc is None else acc + psd
+        count += 1
+        start += hop
+    return acc / count if count else periodogram(y)
+
+
+def cfd_autoperiod_detect(
+    y: np.ndarray,
+    min_period: int = 2,
+    max_period: int = 365,
+) -> int | None:
+    """CFD-Autoperiod (Puech 2020): detrend, cluster FFT candidate hills,
+    validate the clustered candidates on the ACF (noise-resistant variant
+    of Autoperiod; ref src/detection/periodicity.rs:588-640 behavior)."""
+    n = y.size
+    if n < 2 * min_period:
+        return None
+    # linear detrend (the CFD step that kills spectral leakage from trend)
+    x = np.arange(n, dtype=np.float64)
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / max(((x - x.mean()) ** 2).sum(), 1e-300)
+    det = y - (y.mean() + slope * (x - x.mean()))
+    psd = periodogram(det)
+    if psd.size < 2:
+        return None
+    noise = np.median(psd[1:])
+    # relative-power floor: with one dominant frequency the 3x-median test
+    # passes hundreds of noise bins — require 5% of the global peak too
+    floor = max(3.0 * max(noise, 1e-300), 0.05 * float(psd[1:].max()))
+    cands = []
+    for k in range(1, psd.size):
+        period = n / k
+        if min_period <= period <= min(max_period, n // 2) and psd[k] > floor:
+            cands.append((int(round(period)), psd[k]))
+    if not cands:
+        return None
+    # cluster nearby candidate periods (within 20%), keep cluster power sums
+    cands.sort()
+    clusters: list[list[tuple[int, float]]] = [[cands[0]]]
+    for p, pw in cands[1:]:
+        if p <= clusters[-1][-1][0] * 1.2:
+            clusters[-1].append((p, pw))
+        else:
+            clusters.append([(p, pw)])
+    ranked = sorted(
+        ((max(pw for _, pw in cl), int(round(np.mean([p for p, _ in cl])))) for cl in clusters),
+        reverse=True,
+    )
+    max_lag = min(max_period, n // 2)
+    acf = _acf_full(det, max_lag)
+    maxima = set(int(k) for k in _local_maxima(acf))
+    validated = []
+    for _, p in ranked:
+        near = [m for m in maxima if abs(p - m) <= max(1, p // 10)]
+        if near:
+            validated.append(int(max(near, key=lambda m: acf[m])))
+    if not validated:
+        return None
+    # fundamental preference: a pure period-p signal validates every multiple
+    # of p too — return the smallest validated period
+    return min(validated)

@@ -84,3 +84,48 @@ def kpss_test(y: np.ndarray, lags: int | None = None) -> dict:
         "critical_values": dict(_KPSS_CRIT),
         "stationary_5pct": eta < _KPSS_CRIT[0.05],
     }
+
+
+def interval_calibration(
+    y: np.ndarray,
+    kernel,
+    horizon: int = 6,
+    level: float = 0.95,
+    initial_train: int | None = None,
+    step: int = 1,
+    season_length: int = 1,
+    **params,
+) -> dict:
+    """Rolling-origin interval calibration (ref tests/interval_calibration.rs
+    :21-50): empirical coverage rate vs the nominal level + mean Winkler
+    score W = (hi−lo) + (2/α)·max(lo−y, 0) + (2/α)·max(y−hi, 0)."""
+    n = y.size
+    start = initial_train if initial_train is not None else max(n // 2, 8)
+    alpha = 1.0 - level
+    covered = total = 0
+    winkler_sum = 0.0
+    origin = start
+    while origin + horizon <= n:
+        train = y[:origin]
+        actual = y[origin : origin + horizon]
+        try:
+            r = kernel(train, horizon, level, season_length, **params)
+        except Exception:
+            origin += step
+            continue
+        inside = (actual >= r.lo) & (actual <= r.hi)
+        covered += int(inside.sum())
+        total += horizon
+        w = (r.hi - r.lo) \
+            + (2.0 / alpha) * np.maximum(r.lo - actual, 0.0) \
+            + (2.0 / alpha) * np.maximum(actual - r.hi, 0.0)
+        winkler_sum += float(w.sum())
+        origin += step
+    if total == 0:
+        return {"coverage": np.nan, "nominal": level, "winkler": np.nan, "n": 0}
+    return {
+        "coverage": covered / total,
+        "nominal": level,
+        "winkler": winkler_sum / total,
+        "n": total,
+    }

@@ -221,13 +221,11 @@ def time_reversal_asymmetry_statistic(y, lag=1):  # autocorrelation.rs:157
 
 
 def _templates_match_counts(y, m, r):
+    """Sample-entropy template matches excluding self (ref entropy.rs:81-99);
+    O(n²) pair loop with a vectorized inner max-distance check."""
     n = y.size
     nt = n - m
     count = 0
-    for i in range(nt):
-        d = np.abs(y[i + 1 : i + 1 + nt - i, None] - 0)  # placeholder; loop below
-        break
-    # straightforward O(n²m) double loop, vectorized inner distance
     for i in range(nt):
         seg = y[i : i + m]
         for j in range(i + 1, nt):
@@ -342,6 +340,25 @@ def lempel_ziv_complexity(y, bins=10):  # complexity.rs:66 (tsfresh LZ76)
         return 1.0 / n
     width = (hi - lo) / bins
     seq = np.minimum(((y - lo) / width).astype(np.int64), bins - 1)
+    seen: set[tuple] = set()
+    ind, inc = 0, 1
+    while ind + inc <= n:
+        sub = tuple(seq[ind : ind + inc])
+        if sub in seen:
+            inc += 1
+        else:
+            seen.add(sub)
+            ind += inc
+            inc = 1
+    return len(seen) / n
+
+
+def lempel_ziv_complexity_binary(y):  # complexity.rs:116 — median binarization
+    n = y.size
+    if n < 2:
+        return 0.0
+    med = np.median(y)
+    seq = (y > med).astype(np.int64)
     seen: set[tuple] = set()
     ind, inc = 0, 1
     while ind + inc <= n:
@@ -685,6 +702,7 @@ DEFAULT_FEATURES = {
     "cid_ce": (cid_ce, {"normalize": True}),
     "c3": (c3, {"lag": 1}),
     "lempel_ziv_complexity": (lempel_ziv_complexity, {"bins": 10}),
+    "lempel_ziv_complexity_binary": (lempel_ziv_complexity_binary, {}),
     "linear_trend_slope": (linear_trend, {"attribute": "slope"}),
     "linear_trend_intercept": (linear_trend, {"attribute": "intercept"}),
     "linear_trend_r_squared": (linear_trend, {"attribute": "r_squared"}),

@@ -85,3 +85,16 @@ def boxcox_lambda_per_series(
     from anofox_forecast_spark.models.harness import _grouped_apply
 
     return _grouped_apply(df, keys_l, fit, out_schema)
+
+
+def boxcox_shifted(y: np.ndarray, lam: float) -> tuple[np.ndarray, float]:
+    """Shifted Box-Cox for non-positive data: shift = 1 - min when min <= 0
+    (ref boxcox.rs:156-167). Returns (transformed, shift)."""
+    mn = float(np.min(y)) if y.size else 0.0
+    shift = -mn + 1.0 if mn <= 0.0 else 0.0
+    z = y + shift
+    if abs(lam) < 1e-10:
+        out = np.where(z > 0, np.log(np.where(z > 0, z, 1.0)), np.nan)
+    else:
+        out = np.where(z > 0, (z ** lam - 1.0) / lam, np.nan)
+    return out, shift

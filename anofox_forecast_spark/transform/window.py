@@ -131,13 +131,39 @@ def _ewm_batch(body: pd.DataFrame, keys_l, value_col, out_col, alpha) -> pd.Data
     pos = 0
     for _, g in body.groupby(keys_l, sort=False):
         y = g[value_col].to_numpy(dtype=np.float64)
-        e = np.empty(y.size)
-        if y.size:
-            e[0] = y[0]
-            for i in range(1, y.size):
-                e[i] = alpha * y[i] + (1.0 - alpha) * e[i - 1]
+        e = ewm_mean_np(y, alpha)
         outs[pos : pos + y.size] = e
         pos += y.size
     body = body.copy()
     body[out_col] = outs
     return body
+
+
+def ewm_mean_np(y: np.ndarray, alpha: float) -> np.ndarray:
+    """Reference EWM recursion e0=y0 (ref window.rs:227-244)."""
+    e = np.empty(y.size)
+    if y.size:
+        e[0] = y[0]
+        for i in range(1, y.size):
+            e[i] = alpha * y[i] + (1.0 - alpha) * e[i - 1]
+    return e
+
+
+def ewm_var_np(y: np.ndarray, alpha: float) -> np.ndarray:
+    """EWM variance: E[x**2]_ewm - (E[x]_ewm)**2, clamped >= 0; first = 0
+    (ref window.rs:252-272)."""
+    alpha = min(max(alpha, 0.0), 1.0)
+    e = ewm_mean_np(y, alpha)
+    out = np.empty(y.size)
+    if y.size == 0:
+        return out
+    out[0] = 0.0
+    sq = y[0] * y[0]
+    for i in range(1, y.size):
+        sq = alpha * y[i] * y[i] + (1.0 - alpha) * sq
+        out[i] = max(sq - e[i] * e[i], 0.0)
+    return out
+
+
+def ewm_std_np(y: np.ndarray, alpha: float) -> np.ndarray:
+    return np.sqrt(ewm_var_np(y, alpha))

@@ -115,3 +115,14 @@ def test_auto_arima_seasonal():
     truth = 20 + 0.3 * t2 + 8 * np.sin(2 * np.pi * t2 / 12)
     mad = np.mean(np.abs(r.yhat - truth))
     assert mad < 5.0
+
+
+def test_auto_arima_true_stepwise():
+    rng = np.random.default_rng(42)
+    y = np.zeros(150)
+    for i in range(1, 150):
+        y[i] = 0.6 * y[i - 1] + rng.normal()
+    r = auto_arima(y, 6, m=1, true_stepwise=True)
+    assert r.params["search"] == "true_stepwise"
+    assert r.params["n_evals"] <= 35  # bounded; grid-stepwise runs 27+ per (d,D)
+    assert np.all(np.isfinite(r.yhat))

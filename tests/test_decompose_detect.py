@@ -132,3 +132,46 @@ def test_detect_seasonality():
     rng = np.random.default_rng(0)
     r2 = detect_seasonality(rng.normal(0, 1, 200))
     assert not r2.is_seasonal or r2.strength < 0.4
+
+
+def test_pelt_cusum_and_periodicity_costs():
+    rng = np.random.default_rng(9)
+    y = np.concatenate([rng.normal(0, 1, 80), rng.normal(6, 1, 80)])
+    r = pelt_detect(y, penalty=30.0, cost_fn="cusum")
+    assert any(abs(c - 80) <= 5 for c in r.changepoints)
+    r2 = pelt_detect(y, penalty=15.0, cost_fn="mean_variance")
+    assert any(abs(c - 80) <= 3 for c in r2.changepoints)
+    # periodicity cost runs and returns a valid segmentation
+    t = np.arange(160, dtype=np.float64)
+    seasonal = np.sin(2 * np.pi * t / 8)
+    r3 = pelt_detect(seasonal, penalty="bic", cost_fn="periodicity")
+    assert r3.segments[-1][1] == 160
+
+
+def test_cfd_autoperiod_and_welch():
+    from anofox_forecast_spark.detection.periodicity import (
+        cfd_autoperiod_detect,
+        welch_periodogram,
+    )
+
+    t = np.arange(512, dtype=np.float64)
+    rng = np.random.default_rng(4)
+    # trend + seasonality + noise: CFD detrends before the FFT
+    y = 0.05 * t + 5 * np.sin(2 * np.pi * t / 16) + rng.normal(0, 1, 512)
+    p = cfd_autoperiod_detect(y)
+    assert p is not None and abs(p - 16) <= 2
+    psd = welch_periodogram(np.sin(2 * np.pi * t / 16), window_size=64)
+    assert int(np.argmax(psd[1:])) + 1 == 4  # 64/16 = freq bin 4
+
+
+def test_ewm_var_and_binary_lz():
+    from anofox_forecast_spark.features.np_features import lempel_ziv_complexity_binary
+    from anofox_forecast_spark.transform.window import ewm_std_np, ewm_var_np
+
+    y = np.array([1.0, 2.0, 1.0, 2.0, 1.0])
+    v = ewm_var_np(y, 0.5)
+    assert v[0] == 0.0 and np.all(v >= 0)
+    assert np.allclose(ewm_std_np(y, 0.5), np.sqrt(v))
+    rng = np.random.default_rng(2)
+    assert lempel_ziv_complexity_binary(np.tile([1.0, 2.0], 30)) < \
+        lempel_ziv_complexity_binary(rng.normal(0, 1, 60))

@@ -123,3 +123,16 @@ def test_kpss():
     rw = np.cumsum(rng.normal(0, 1, 400))
     assert kpss_test(stationary)["stationary_5pct"]
     assert not kpss_test(rw)["stationary_5pct"]
+
+
+def test_interval_calibration_naive():
+    from anofox_forecast_spark.evaluation.stat_tests import interval_calibration
+    from anofox_forecast_spark.models.kernels import naive
+
+    rng = np.random.default_rng(42)
+    y = 50 + rng.normal(0, 3, 150)
+    r = interval_calibration(y, naive, horizon=4, level=0.9, step=5)
+    assert r["n"] > 0
+    # naive CI on iid noise should be roughly calibrated (wide tolerance)
+    assert 0.6 < r["coverage"] <= 1.0
+    assert r["winkler"] > 0
