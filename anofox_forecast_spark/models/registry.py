@@ -46,10 +46,15 @@ MODELS: dict[str, Callable] = {
 # the module graph acyclic — arima.py imports kernels only)
 from anofox_forecast_spark.models.arima import arima, auto_arima  # noqa: E402
 from anofox_forecast_spark.models.garch import garch  # noqa: E402
+from anofox_forecast_spark.models.mfles import mfles  # noqa: E402
+from anofox_forecast_spark.models.tbats import auto_tbats, tbats  # noqa: E402
 
 MODELS["arima"] = arima
 MODELS["auto_arima"] = auto_arima
 MODELS["garch"] = garch
+MODELS["mfles"] = mfles
+MODELS["tbats"] = tbats
+MODELS["auto_tbats"] = auto_tbats
 
 
 def get_model(name: str) -> Callable:
