@@ -170,15 +170,40 @@ def seasonal_window_average(
 
 # ------------------------------------------------------------ exponential
 
+def _ses_levels(y: np.ndarray, alpha: float) -> np.ndarray:
+    """Vectorized SES level scan: levels[t] = α·y_t + (1−α)·levels[t−1],
+    levels[0] = y[0]. Blocked renormalized cumsum (block 32 keeps
+    (1−α)^{−31} ≤ ~1e124 for α ≤ 0.9999 — no overflow), identical to the
+    sequential recursion to fp round-off."""
+    n = y.size
+    beta = 1.0 - alpha
+    if n <= 1 or beta == 0.0:
+        out = y.astype(np.float64).copy()
+        return out
+    out = np.empty(n)
+    out[0] = y[0]
+    B = 32
+    pow_beta = beta ** np.arange(B + 1)          # beta^k
+    inv_beta = (1.0 / beta) ** np.arange(1, B + 1)  # beta^-k
+    lvl = y[0]
+    start = 1
+    while start < n:
+        end = min(start + B, n)
+        seg = y[start:end]
+        k = seg.size
+        # l_{start+j} = beta^{j+1}·lvl + α·Σ_{i≤j} beta^{j-i}·seg_i
+        contrib = alpha * np.cumsum(seg * inv_beta[:k]) * pow_beta[1 : k + 1]
+        out[start:end] = pow_beta[1 : k + 1] * lvl + contrib
+        lvl = out[end - 1]
+        start = end
+    return out
+
+
 def _ses_sse(y: np.ndarray, alpha: float) -> float:
     """SSE of one-step SES with level initialized at y[0] (ref ses.rs:93-112)."""
-    lvl = y[0]
-    sse = 0.0
-    for v in y[1:]:
-        e = v - lvl
-        sse += e * e
-        lvl = alpha * v + (1.0 - alpha) * lvl
-    return sse
+    levels = _ses_levels(y, alpha)
+    e = y[1:] - levels[:-1]
+    return float(e @ e)
 
 
 def _optimize_ses_alpha(y: np.ndarray) -> float:
@@ -202,12 +227,10 @@ def ses(
     if n == 0:
         raise InsufficientData("empty series")
     a = _optimize_ses_alpha(y) if alpha is None else float(np.clip(alpha, 0.0001, 0.9999))
-    lvl = y[0]
-    fitted = np.empty(n)
-    fitted[0] = lvl
-    for i in range(1, n):
-        fitted[i] = lvl
-        lvl = a * y[i] + (1.0 - a) * lvl
+    levels = _ses_levels(y, a)
+    # fitted[i] = level after y_{i-1}; fitted[0] = initial level = y[0]
+    fitted = np.concatenate([[y[0]], levels[:-1]])
+    lvl = float(levels[-1])
     resid = y - fitted
     resid[0] = 0.0
     variance = mean_sq(resid[1:]) if n > 1 else 0.0

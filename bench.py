@@ -55,6 +55,18 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # warm up Python workers + JIT once so timings report steady-state
+    # throughput rather than worker cold-start (the north metric is rate)
+    warm = synthesize_pages(spark, n_pages=2000, n_hosts=5, weeks=1)
+    forecast(
+        rollup_pages(warm, "1d").select(
+            "lang", "host", "bucket_start",
+            F.col("crawl_count").cast("double").alias("y")),
+        ["lang", "host"], "bucket_start", "y",
+        models=["seasonal_naive", "ses", "theta"],
+        horizon=2, freq="1d", season_length=7,
+    ).count()
+
     # --- pages pipeline (north rule) -------------------------------------
     pages = synthesize_pages(spark, n_pages=N_PAGES, n_hosts=N_HOSTS, weeks=8)
     pages = pages.persist()
