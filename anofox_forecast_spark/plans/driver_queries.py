@@ -676,6 +676,138 @@ def sql_metrics_historic_avg_1d():
     )
 
 
+def q_expanding_window_1d(spark, sf_dir):
+    """Expanding (cumulative) stats (ref transform/window.rs:153-224)."""
+    from anofox_forecast_spark.transform.window import expanding
+
+    series = _daily_series(spark, sf_dir)
+    out = expanding(series, ["event_type"], "bucket_start", "y",
+                    stats=["mean", "sum", "max", "min"])
+    return out.select(
+        "event_type", "bucket_start",
+        F.round("y_exp_mean", 6).alias("exp_mean"),
+        F.round("y_exp_sum", 6).alias("exp_sum"),
+        F.col("y_exp_max").alias("exp_max"),
+        F.col("y_exp_min").alias("exp_min"),
+    )
+
+
+def sql_expanding_window_1d():
+    return (
+        _DUCK_DAILY
+        + """
+        SELECT event_type, bucket_start,
+               round(avg(y) OVER w, 6) AS exp_mean,
+               round(sum(y) OVER w, 6) AS exp_sum,
+               max(y) OVER w AS exp_max,
+               min(y) OVER w AS exp_min
+        FROM series
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+def q_topk_users(spark, sf_dir):
+    """Global top-k (sorts/limits category): busiest users by event count."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+def sql_topk_users():
+    return """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS value_sum
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 5
+    """
+
+
+# ---- rows-only entries (non-SQL-expressible per-series kernels; the
+# driver records a weaker rows-only check — SURVEY §5 test plan item c)
+
+def q_stl_decompose_1d(spark, sf_dir):
+    from anofox_forecast_spark.seasonality import stl_decompose_spark
+
+    series = _daily_series(spark, sf_dir)
+    out = stl_decompose_spark(series, ["event_type"], "bucket_start", "y", period=7)
+    return out.select(
+        "event_type", "bucket_start",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("remainder", 6).alias("remainder"),
+    )
+
+
+def q_changepoint_pelt_1d(spark, sf_dir):
+    from anofox_forecast_spark.changepoint import pelt_detect_spark
+
+    series = _daily_series(spark, sf_dir)
+    return pelt_detect_spark(series, ["event_type"], "bucket_start", "y",
+                             penalty=10.0, cost_fn="l2")
+
+
+def q_cross_validation_1d(spark, sf_dir):
+    from anofox_forecast_spark.evaluation import cross_validate
+
+    series = _daily_series(spark, sf_dir)
+    out = cross_validate(series, ["event_type"], "bucket_start", "y",
+                         ["naive", "seasonal_naive"], horizon=5,
+                         initial_train=15, step_size=5, season_length=7)
+    return out.select("event_type", "model", "fold", "origin_index",
+                      F.round("mae", 6).alias("mae"),
+                      F.round("rmse", 6).alias("rmse"))
+
+
+def q_bootstrap_intervals_1d(spark, sf_dir):
+    from anofox_forecast_spark.evaluation import bootstrap_intervals
+
+    series = _daily_series(spark, sf_dir)
+    out = bootstrap_intervals(series, ["event_type"], "bucket_start", "y",
+                              "ses", horizon=4, n_samples=50, alpha=0.3)
+    return out.select("event_type", "step",
+                      F.round("yhat", 6).alias("yhat"),
+                      F.round("lo", 6).alias("lo"),
+                      F.round("hi", 6).alias("hi"))
+
+
+def q_features_wide_1d(spark, sf_dir):
+    from anofox_forecast_spark.features import extract_features
+
+    series = _daily_series(spark, sf_dir)
+    out = extract_features(series, ["event_type"], "bucket_start", "y", features=[
+        "mean", "abs_energy", "linear_trend_slope", "binned_entropy",
+        "autocorrelation_1", "cid_ce", "sample_entropy", "number_peaks",
+        "augmented_dickey_fuller", "permutation_entropy",
+    ])
+    cols = [c for c in out.columns if c != "event_type"]
+    return out.select("event_type", *[F.round(c, 6).alias(c) for c in cols])
+
+
+def q_ewm_1d(spark, sf_dir):
+    from anofox_forecast_spark.transform import ewm_mean
+
+    series = _daily_series(spark, sf_dir)
+    out = ewm_mean(series, ["event_type"], "bucket_start", "y", alpha=0.3)
+    return out.select("event_type", "bucket_start", F.round("y_ewm", 6).alias("y_ewm"))
+
+
+def q_forecast_ets_theta_1d(spark, sf_dir):
+    """The north-star model trio through the grouped-map harness."""
+    series = _daily_series(spark, sf_dir)
+    out = forecast(series, ["event_type"], "bucket_start", "y",
+                   models={"ets": {"spec": "AAA"}, "theta": {},
+                           "holt_winters": {}},
+                   horizon=7, freq="1d", season_length=7)
+    return out.select("event_type", "model", "step", "ds",
+                      F.round("yhat", 6).alias("yhat"))
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tier_rollup_1h": q_tier_rollup_1h,
@@ -696,6 +828,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_zscore_1d": q_outliers_zscore_1d,
         "scale_standardize_1d": q_scale_standardize_1d,
         "metrics_historic_avg_1d": q_metrics_historic_avg_1d,
+        "expanding_window_1d": q_expanding_window_1d,
+        "topk_users": q_topk_users,
+        "stl_decompose_1d": q_stl_decompose_1d,
+        "changepoint_pelt_1d": q_changepoint_pelt_1d,
+        "cross_validation_1d": q_cross_validation_1d,
+        "bootstrap_intervals_1d": q_bootstrap_intervals_1d,
+        "features_wide_1d": q_features_wide_1d,
+        "ewm_1d": q_ewm_1d,
+        "forecast_ets_theta_1d": q_forecast_ets_theta_1d,
     }
 
 
@@ -719,4 +860,8 @@ def build_oracle_sql() -> dict[str, str]:
         "outliers_zscore_1d": sql_outliers_zscore_1d(),
         "scale_standardize_1d": sql_scale_standardize_1d(),
         "metrics_historic_avg_1d": sql_metrics_historic_avg_1d(),
+        "expanding_window_1d": sql_expanding_window_1d(),
+        "topk_users": sql_topk_users(),
+        # stl/pelt/cv/bootstrap/features/ewm/ets-theta: per-series kernels,
+        # not ANSI-SQL-expressible → rows-only driver check by design
     }
