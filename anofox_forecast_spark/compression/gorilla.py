@@ -140,8 +140,96 @@ def decode_timestamps(blob: bytes, n: int) -> np.ndarray:
     return out
 
 
+_CLZ8 = np.array([8] + [7] + [6] * 2 + [5] * 4 + [4] * 8 + [3] * 16
+                 + [2] * 32 + [1] * 64 + [0] * 128, dtype=np.int64)
+_CTZ8 = np.zeros(256, dtype=np.int64)
+_CTZ8[0] = 8
+for _v in range(1, 256):
+    _CTZ8[_v] = (_v & -_v).bit_length() - 1
+
+
+def _pack_segments(vals: np.ndarray, widths: np.ndarray) -> bytes:
+    """Bit-pack variable-width big-endian segments (vectorized).
+
+    vals: uint64 segment values (only the low ``width`` bits used);
+    widths: per-segment bit widths (1..64). Output is MSB-first, padded
+    with zero bits to a byte boundary — the same layout _BitWriter emits.
+    """
+    total = int(widths.sum())
+    if total == 0:
+        return b""
+    seg_idx = np.repeat(np.arange(vals.size), widths)
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    j = np.arange(total) - offsets[seg_idx]          # bit index within segment
+    shift = (widths[seg_idx] - 1 - j).astype(np.uint64)
+    bits = ((vals[seg_idx] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def encode_values_packed(values: np.ndarray) -> bytes:
+    """Vectorized Gorilla XOR encoder (always-new-window profile — a
+    conformant subset the streaming decoder reads unchanged): byte-LUT
+    leading/trailing zero counts, one repeat/cumsum bit-pack pass.
+
+    NOTE: in THIS container large first-touch numpy allocations run at
+    ~90 MB/s (np.arange(11M) ≈ 1 s), which makes the per-bit expansion
+    slower than the python bit-writer — so ``encode_values`` (the default)
+    remains the loop encoder here. On hardware with normal memory
+    bandwidth this path wins; it is round-trip-tested either way.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    n = v.size
+    if n == 0:
+        return b""
+    bits = v.view(np.uint64)
+    if n == 1:
+        return _pack_segments(bits[:1].copy(), np.array([64]))
+    x = bits[1:] ^ bits[:-1]
+    nz = x != 0
+
+    xb = x.view(np.uint8).reshape(-1, 8)
+    if np.little_endian:
+        xb = xb[:, ::-1]  # big-endian byte order for lead/trail scan
+    nonzero_byte = xb != 0
+    first_nz = np.argmax(nonzero_byte, axis=1)
+    last_nz = 7 - np.argmax(nonzero_byte[:, ::-1], axis=1)
+    lead = 8 * first_nz + _CLZ8[xb[np.arange(x.size), first_nz]]
+    trail = 8 * (7 - last_nz) + _CTZ8[xb[np.arange(x.size), last_nz]]
+    lead = np.minimum(lead, 31)          # 5-bit field cap (paper convention)
+    sig = 64 - lead - trail
+
+    # segments: [first value raw 64] then per point either ('0',1) or
+    # ('11'+lead+sig-1, 13) + (payload, sig)
+    n_seg = 1 + int(nz.sum()) * 2 + int((~nz).sum())
+    seg_vals = np.empty(n_seg, dtype=np.uint64)
+    seg_w = np.empty(n_seg, dtype=np.int64)
+    seg_vals[0] = bits[0]
+    seg_w[0] = 64
+    # interleave: for zero points one segment, for nonzero two — build by
+    # computing per-point segment counts and scattering
+    counts = np.where(nz, 2, 1)
+    starts = 1 + np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # control/header segment
+    header = np.where(
+        nz,
+        (np.uint64(0b11) << np.uint64(11))
+        | (lead.astype(np.uint64) << np.uint64(6))
+        | (sig - 1).astype(np.uint64),
+        np.uint64(0),
+    )
+    seg_vals[starts] = header
+    seg_w[starts] = np.where(nz, 13, 1)
+    # payload segment for nonzero points
+    pl_pos = starts[nz] + 1
+    seg_vals[pl_pos] = x[nz] >> trail[nz].astype(np.uint64)
+    seg_w[pl_pos] = sig[nz]
+    return _pack_segments(seg_vals, seg_w)
+
+
 def encode_values(values: np.ndarray) -> bytes:
-    """Gorilla XOR float compression (lossless, NaN-preserving)."""
+    """Gorilla XOR float compression (lossless, NaN-preserving) — python
+    bit-writer with window reuse (~3 µs/pt; see encode_values_packed for
+    the vectorized variant and why it is not the default here)."""
     v = np.asarray(values, dtype=np.float64)
     bits = v.view(np.uint64)
     n = v.size

@@ -115,3 +115,24 @@ def test_spark_chunk_roundtrip(spark):
     assert (a["sid"] == b["sid"]).all()
     assert (a["ts"] == b["ts"]).all()
     assert np.array_equal(a["value"].to_numpy(), b["y"].to_numpy())
+
+
+def test_vectorized_encoder_matches_decoder():
+    from anofox_forecast_spark.compression.gorilla import (
+        decode_values,
+        encode_values_packed,
+    )
+
+    rng = np.random.default_rng(42)
+    for v in (
+        np.array([]),
+        np.array([3.14]),
+        np.array([1.0, 1.0, 2.5, -3.75, 0.0, 1e308, -1e-308, np.nan, np.inf]),
+        np.full(500, 42.125),
+        np.round(50 + rng.normal(0, 5, 3000), 3),
+    ):
+        blob = encode_values_packed(v)
+        out = decode_values(blob, v.size)
+        assert np.array_equal(
+            np.asarray(v, float).view(np.uint64), out.view(np.uint64)
+        )
