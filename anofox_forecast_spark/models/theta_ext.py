@@ -101,7 +101,7 @@ def optimized_theta(
             best_v = v
             best = (float(np.clip(pt[0], 0.01, 0.99)), float(np.clip(pt[1], 1.0, 10.0)))
     a, th = best
-    return theta(y, h, level, m, theta_param=th, alpha=a)
+    return theta(y, h, level, m, theta_param=th, alpha=a, drift_in_fitted=True)
 
 
 def _dynamic_init(des: np.ndarray):
@@ -219,14 +219,21 @@ def dynamic_optimized_theta(y, h, level=0.95, m=0):
 
 
 def auto_theta(y: np.ndarray, h: int, level: float = 0.95, m: int = 0) -> KernelResult:
-    """Best of STM/OTM/DSTM/DOTM by in-sample residual MSE (ref auto.rs)."""
+    """Best of STM/OTM/DSTM/DOTM by in-sample residual MSE (ref auto.rs).
+
+    Selection details mirror ref auto.rs:154-224 exactly: STM/OTM are fit
+    WITH the seasonal decomposition, but DSTM/DOTM are fit on the raw series
+    (``DynamicTheta::new(0.1)`` / ``::optimized()`` take no seasonal period);
+    the score is MSE over residuals[1:] (ref :135-145 skips the first
+    residual, which is structurally 0).
+    """
     if y.size < 6:
         raise InsufficientData(f"need 6, got {y.size}")
     candidates = {
         "STM": lambda: theta(y, h, level, m),
         "OTM": lambda: optimized_theta(y, h, level, m),
-        "DSTM": lambda: dynamic_theta(y, h, level, m),
-        "DOTM": lambda: dynamic_optimized_theta(y, h, level, m),
+        "DSTM": lambda: dynamic_theta(y, h, level, 0),
+        "DOTM": lambda: dynamic_optimized_theta(y, h, level, 0),
     }
     best, best_name, best_mse = None, None, np.inf
     scores = {}
@@ -235,7 +242,8 @@ def auto_theta(y: np.ndarray, h: int, level: float = 0.95, m: int = 0) -> Kernel
             r = fn()
         except Exception:
             continue
-        valid = r.residuals[np.isfinite(r.residuals)]
+        tail = r.residuals[1:]
+        valid = tail[np.isfinite(tail)]
         mse = mean_sq(valid)
         scores[name] = mse
         if mse < best_mse:
