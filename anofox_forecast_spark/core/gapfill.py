@@ -74,12 +74,14 @@ def fill_gaps(
             ).alias(ts_col),
         )
     )
-    joined = spine.join(df, on=[*keys, ts_col], how="left")
+    # Tag observed rows BEFORE the join: `filled` means "row did not exist
+    # in the input", not "value is NULL" — a genuinely-NULL measure at an
+    # existing timestamp must not be mislabeled as a gap.
+    tagged = df.withColumn("__observed", F.lit(True))
+    joined = spine.join(tagged, on=[*keys, ts_col], how="left")
     if mark_filled:
-        joined = joined.withColumn(
-            "filled", F.col(value_cols[0]).isNull()
-        )
-    return joined
+        joined = joined.withColumn("filled", F.col("__observed").isNull())
+    return joined.drop("__observed")
 
 
 def locf(

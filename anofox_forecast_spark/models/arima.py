@@ -86,18 +86,20 @@ def seasonal_integrate(diff_fc: np.ndarray, last_values: np.ndarray, D: int, s: 
 
 
 def suggest_differencing(y: np.ndarray, max_d: int = 2) -> int:
-    """Variance-ratio heuristic (ref diff.rs:102-130)."""
+    """Variance-ratio heuristic (ref diff.rs:102-130; SAMPLE variance n−1,
+    ref simd::variance_sample — the ratio near the 0.9 cut is sensitive to
+    the denominator because the diffed series is one element shorter)."""
     if y.size < 3:
         return 0
-    var0 = y.var()
+    var0 = y.var(ddof=1)
     d1 = np.diff(y)
     if d1.size < 2:
         return 0
-    var1 = d1.var()
+    var1 = d1.var(ddof=1)
     if var0 > 0 and var1 / var0 < 0.9:
         d2 = np.diff(d1)
         if d2.size >= 2:
-            var2 = d2.var()
+            var2 = d2.var(ddof=1)
             if var1 > 0 and var2 / var1 < 0.9 and var2 < var0 and max_d >= 2:
                 return 2
         return min(1, max_d)
@@ -105,20 +107,35 @@ def suggest_differencing(y: np.ndarray, max_d: int = 2) -> int:
 
 
 def _css_arima(z: np.ndarray, p: int, q: int, ar, ma, intercept: float) -> float:
-    """Non-seasonal CSS, centered AR convention (ref model.rs:230-256)."""
+    """Non-seasonal CSS, centered AR convention (ref model.rs:230-256).
+
+    The AR contribution is vectorized with the SAME per-t accumulation order
+    as the scalar recursion (intercept, then ar lags in order), so the float
+    result is bit-identical; only the MA residual recursion stays a loop
+    (it is an IIR filter — inherently sequential).
+    """
     n = z.size
     start = max(p, q)
     if n <= start:
         return np.finfo(np.float64).max
-    resid = np.zeros(n)
+    t_idx = np.arange(start, n)
+    pred = np.full(n - start, intercept)
+    for i in range(p):
+        pred += ar[i] * (z[t_idx - 1 - i] - intercept)
+    if q == 0:
+        e = z[start:] - pred
+        return float(e @ e)
+    zs = z.tolist()
+    preds = pred.tolist()
+    ma_t = [(1 + i, float(ma[i])) for i in range(q)]
+    resid = [0.0] * n
     css = 0.0
-    for t in range(start, n):
-        pred = intercept
-        for i in range(p):
-            pred += ar[i] * (z[t - 1 - i] - intercept)
-        for i in range(q):
-            pred += ma[i] * resid[t - 1 - i]
-        e = z[t] - pred
+    for k in range(n - start):
+        t = start + k
+        pr = preds[k]
+        for lag, c in ma_t:
+            pr += c * resid[t - lag]
+        e = zs[t] - pr
         resid[t] = e
         css += e * e
     return css
@@ -172,36 +189,50 @@ def _predict_sarima(z, resid, params, spec, h):
 
 
 def _css_sarima(z, p, q, P, Q, s, ar, ma, sar, sma, intercept) -> float:
-    """Seasonal CSS, uncentered + interaction terms (ref model.rs:880-975)."""
+    """Seasonal CSS, uncentered + interaction terms (ref model.rs:880-975).
+
+    Vectorized like _css_arima: the z-side (AR + seasonal AR + interaction)
+    terms are accumulated per-lag over all t at once in the scalar loop's
+    order (bit-identical floats; every lag ≤ start so no guards needed);
+    the residual-side (MA/SMA/interaction) recursion stays a tight loop.
+    """
     n = z.size
     max_ar = p + P * s if (P > 0 and s > 1) else max(p, P * s)
     max_ma = q + Q * s if (Q > 0 and s > 1) else max(q, Q * s)
     start = max(max_ar, max_ma)
     if n <= start:
         return np.finfo(np.float64).max
-    resid = np.zeros(n)
-    css = 0.0
-    for t in range(start, n):
-        pred = intercept
-        for i in range(p):
-            pred += ar[i] * z[t - 1 - i]
+    t_idx = np.arange(start, n)
+    pred = np.full(n - start, intercept)
+    for i in range(p):
+        pred += ar[i] * z[t_idx - 1 - i]
+    for j in range(P):
+        pred += sar[j] * z[t_idx - (j + 1) * s]
+    for i in range(p):
         for j in range(P):
-            pred += sar[j] * z[t - (j + 1) * s]
-        for i in range(p):
-            for j in range(P):
-                lag = (i + 1) + (j + 1) * s
-                if t >= lag:
-                    pred -= ar[i] * sar[j] * z[t - lag]
-        for i in range(q):
-            pred += ma[i] * resid[t - 1 - i]
-        for j in range(Q):
-            pred += sma[j] * resid[t - (j + 1) * s]
-        for i in range(q):
-            for j in range(Q):
-                lag = (i + 1) + (j + 1) * s
-                if t >= lag:
-                    pred += ma[i] * sma[j] * resid[t - lag]
-        e = z[t] - pred
+            pred -= (ar[i] * sar[j]) * z[t_idx - ((i + 1) + (j + 1) * s)]
+    ma_t = (
+        [(1 + i, float(ma[i])) for i in range(q)]
+        + [((j + 1) * s, float(sma[j])) for j in range(Q)]
+        + [
+            ((i + 1) + (j + 1) * s, float(ma[i] * sma[j]))
+            for i in range(q)
+            for j in range(Q)
+        ]
+    )
+    if not ma_t:
+        e = z[start:] - pred
+        return float(e @ e)
+    zs = z.tolist()
+    preds = pred.tolist()
+    resid = [0.0] * n
+    css = 0.0
+    for k in range(n - start):
+        t = start + k
+        pr = preds[k]
+        for lag, c in ma_t:
+            pr += c * resid[t - lag]
+        e = zs[t] - pr
         resid[t] = e
         css += e * e
     return css
@@ -331,8 +362,15 @@ def arima(
     )
 
 
+# Stepwise candidate grids — ref auto_arima.rs:216-302 verbatim:
+# 9 pure-nonseasonal (p,q) fit with (P,Q)=(0,0) (but still carrying the
+# seasonal differencing D), plus 13 nonseasonal cores × 8 seasonal (P,Q).
 _NONSEASONAL_GRID = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 1), (1, 2), (2, 2)]
-_SEASONAL_GRID = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (0, 2)]
+_SEASONAL_PQ_GRID = [(0, 1), (1, 0), (1, 1), (2, 0), (0, 2), (2, 1), (1, 2), (2, 2)]
+_NONSEASONAL_WITH_SEASONAL_GRID = [
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 1), (1, 2),
+    (3, 0), (0, 3), (2, 2), (3, 1), (1, 3),
+]
 
 
 def _hill_climb(y, h, level, s, d, D, max_p, max_q):
@@ -407,9 +445,11 @@ def auto_arima(
         raise InsufficientData(f"need {min_required}, got {n}")
     d0 = suggest_differencing(y, max_d)
     d_range = sorted({d0, max(d0 - 1, 0), min(d0 + 1, max_d)})
-    if s > 1:
-        sd = seasonal_difference(y, 1, s)
-        cap_d_range = [0, 1] if sd.size > 2 and sd.var() / max(y.var(), 1e-300) < 0.9 else [0]
+    if s > 1 and n >= 2 * s:
+        # ref auto_arima.rs:185-213: D=1 iff seasonal differencing cuts the
+        # population variance below 0.7× the original; try both {0, D}.
+        sd = y[s:] - y[:-s]
+        cap_d_range = sorted({0, 1 if sd.var() < y.var() * 0.7 else 0})
     else:
         cap_d_range = [0]
 
@@ -427,25 +467,36 @@ def auto_arima(
         best.params["search"] = "true_stepwise"
         return best
 
-    best, best_aic, scores = None, np.inf, {}
+    # candidate set per (d, D) — ref stepwise_candidates (auto_arima.rs:216-302)
+    candidates: list[tuple[int, int, int, int, int, int]] = []
     for d in d_range:
         for D in cap_d_range:
             for (p, q) in _NONSEASONAL_GRID:
-                if p > max_p or q > max_q:
-                    continue
-                seasonal_opts = _SEASONAL_GRID if s > 1 else [(0, 0)]
-                for (P, Q) in seasonal_opts:
-                    if s > 1 and (P, Q) != (0, 0) and (p, q) not in ((0, 0), (1, 0), (0, 1), (1, 1)):
-                        continue  # limit seasonal grid to small nonseasonal cores
-                    try:
-                        r = arima(y, h, level, s, order=(p, d, q),
-                                  seasonal_order=(P, D, Q))
-                    except Exception:
+                if p <= max_p and q <= max_q:
+                    candidates.append((p, d, q, 0, D, 0))
+            if s > 1:
+                for (p, q) in _NONSEASONAL_WITH_SEASONAL_GRID:
+                    if p > max_p or q > max_q:
                         continue
-                    key = f"({p},{d},{q})({P},{D},{Q})[{s}]"
-                    scores[key] = r.params["aic"]
-                    if np.isfinite(r.params["aic"]) and r.params["aic"] < best_aic:
-                        best, best_aic = r, r.params["aic"]
+                    for (P, Q) in _SEASONAL_PQ_GRID:
+                        candidates.append((p, d, q, P, D, Q))
+    candidates = sorted(set(candidates))
+
+    best, best_aic, scores = None, np.inf, {}
+    for (p, d, q, P, D, Q) in candidates:
+        # data-requirement filter (ref auto_arima.rs:563-573)
+        min_len = d + D * s + max(p, q, max(P, Q) * max(s, 1)) + 5
+        if n < min_len:
+            continue
+        try:
+            r = arima(y, h, level, s, order=(p, d, q), seasonal_order=(P, D, Q))
+        except Exception:
+            continue
+        aic = r.params["aic"]
+        key = f"({p},{d},{q})({P},{D},{Q})[{s}]"
+        scores[key] = aic
+        if np.isfinite(aic) and aic < best_aic:
+            best, best_aic = r, aic
     if best is None:
         raise InsufficientData("no ARIMA candidate fit")
     best.params["scores_top"] = dict(sorted(scores.items(), key=lambda kv: kv[1])[:5])

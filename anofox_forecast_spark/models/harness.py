@@ -53,6 +53,21 @@ def _grouped_apply(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
     return df.repartition(target, *keys).groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
+def _last_key_mask(pdf: pd.DataFrame, keys_l: list[str]) -> np.ndarray:
+    """Rows belonging to the trailing (possibly batch-spanning) group.
+
+    Null-safe: a NaN/None key must match itself, otherwise a null-key group
+    is never held back and splits across Arrow batches.
+    """
+    mask = np.ones(len(pdf), dtype=bool)
+    for k in keys_l:
+        col = pdf[k]
+        v = col.iloc[-1]
+        m = col.isna() if pd.isna(v) else (col == v)
+        mask &= m.to_numpy()
+    return mask
+
+
 def batched_series_apply(df: DataFrame, keys, ts_col, per_series, out_schema) -> DataFrame:
     """mapInPandas over key-partitioned, key+ts-sorted data: many series per
     Arrow batch with carry-over for groups split across batch boundaries.
@@ -66,7 +81,9 @@ def batched_series_apply(df: DataFrame, keys, ts_col, per_series, out_schema) ->
 
     def _flush(body: pd.DataFrame):
         out = {f.name: [] for f in out_schema.fields}
-        for _, g in body.groupby(keys_l, sort=False):
+        # dropna=False: NULL keys (e.g. parse_url host on malformed URLs)
+        # are real series and must not be silently discarded.
+        for _, g in body.groupby(keys_l, sort=False, dropna=False):
             per_series(g, out)
         if not next(iter(out.values()), None):
             return None
@@ -83,9 +100,7 @@ def batched_series_apply(df: DataFrame, keys, ts_col, per_series, out_schema) ->
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
-            mask = np.ones(len(pdf), dtype=bool)
-            for k in keys_l:
-                mask &= (pdf[k] == pdf[k].iloc[-1]).to_numpy()
+            mask = _last_key_mask(pdf, keys_l)
             carry = pdf.iloc[mask.nonzero()[0]]
             body = pdf.iloc[(~mask).nonzero()[0]]
             if len(body):
@@ -190,21 +205,18 @@ def forecast(
             # hold back the trailing group — it may continue in the next batch
             if len(pdf) == 0:
                 continue
-            last_key = tuple(pdf[k].iloc[-1] for k in keys_l)
-            mask = np.ones(len(pdf), dtype=bool)
-            for k, v in zip(keys_l, last_key):
-                mask &= (pdf[k] == v).to_numpy()
+            mask = _last_key_mask(pdf, keys_l)
             carry = pdf.iloc[mask.nonzero()[0]]
             body = pdf.iloc[(~mask).nonzero()[0]]
             if len(body):
                 out = {f.name: [] for f in out_schema.fields}
-                for _, g in body.groupby(keys_l, sort=False):
+                for _, g in body.groupby(keys_l, sort=False, dropna=False):
                     one_series(g, out)
                 if out["model"]:
                     yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
         if carry is not None and len(carry):
             out = {f.name: [] for f in out_schema.fields}
-            for _, g in carry.groupby(keys_l, sort=False):
+            for _, g in carry.groupby(keys_l, sort=False, dropna=False):
                 one_series(g, out)
             if out["model"]:
                 yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})

@@ -22,12 +22,18 @@ log — semantics identical):
 - Late / out-of-order data: handled by construction — a late row maps to
   its (old) bucket and merges into it; re-rolled bucket == from-scratch
   bucket (tested invariant).
-- Resume / idempotence: a batch id log (parquet) records applied batches;
-  re-ingesting an applied batch is a no-op. A crash between the tier write
-  and the log write replays the batch — ingestion is therefore
-  at-least-once, which the merge tolerates ONLY through the log check, so
-  the log is written last and checked first (same contract as Iceberg
-  snapshot-watermark resume).
+- Resume / idempotence: two layers.
+  (1) a batch id log (parquet) records fully-applied batches; re-ingesting
+      a logged batch is a no-op (log written last, checked first).
+  (2) every tier row carries a ``__last_batch`` fingerprint stamped at
+      write time. When a crash lands between the tier write and the log
+      append, the replay consults the fingerprints of the affected
+      partitions and merges ONLY into partitions not already stamped with
+      this batch_id — so a replayed batch never double-counts, even when
+      the (non-atomic) dynamic partition overwrite completed for some
+      partitions and not others. Atomicity *within* one partition rewrite
+      still relies on the file-output commit; a true all-or-nothing commit
+      is what the Iceberg MERGE backend would add.
 - Retention: drop partitions with bucket_date < cutoff (partition-level
   delete; no data rewrite).
 
@@ -132,7 +138,7 @@ class IncrementalRollup:
         )
 
     def read(self) -> DataFrame:
-        df = self.spark.read.parquet(self.path)
+        df = self.spark.read.parquet(self.path).drop("__last_batch")
         return df.withColumn(
             "text_bytes_avg", F.col("text_bytes") / F.col("crawl_count")
         )
@@ -149,15 +155,33 @@ class IncrementalRollup:
         affected = [r.bucket_date for r in partials.select("bucket_date").distinct().collect()]
         n_partial = partials.count()
 
-        if os.path.exists(self.path):
+        if os.path.exists(self.path) and affected:
             dates = ",".join(f"'{d}'" for d in affected)
-            existing = self.spark.read.parquet(self.path).filter(
-                F.expr(f"bucket_date IN ({dates})") if affected else F.lit(False)
+            scoped = self.spark.read.parquet(self.path).filter(
+                F.expr(f"bucket_date IN ({dates})")
             )
+            # crash-replay guard: partitions already stamped with this
+            # batch_id absorbed it before the crash — merge only the rest
+            done_dates = {
+                r.bucket_date
+                for r in scoped.filter(F.col("__last_batch") == batch_id)
+                .select("bucket_date").distinct().collect()
+            } if "__last_batch" in scoped.columns else set()
+            merge_dates = [d for d in affected if d not in done_dates]
+            if not merge_dates:
+                partials.unpersist()
+                self._log_batch(batch_id, n_partial)
+                return {"batch_id": batch_id, "skipped": False,
+                        "partial_rows": n_partial, "replay_completed": True,
+                        "affected_partitions": 0, "seconds": 0.0}
+            mdates = ",".join(f"'{d}'" for d in merge_dates)
+            existing = scoped.filter(F.expr(f"bucket_date IN ({mdates})"))
             merged = (
                 existing.select(*self.keys, "bucket_start", "crawl_count",
                                 "text_bytes", "bucket_date")
-                .unionByName(partials)
+                .unionByName(
+                    partials.filter(F.expr(f"bucket_date IN ({mdates})"))
+                )
                 .groupBy(*self.keys, "bucket_start", "bucket_date")
                 .agg(
                     F.sum("crawl_count").alias("crawl_count"),
@@ -167,7 +191,8 @@ class IncrementalRollup:
         else:
             merged = partials
         (
-            merged.repartition("bucket_date")
+            merged.withColumn("__last_batch", F.lit(batch_id))
+            .repartition("bucket_date")
             .write.mode("overwrite")
             .partitionBy("bucket_date")
             .parquet(self.path)

@@ -110,9 +110,9 @@ def ewm_mean(
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
-            mask = np.ones(len(pdf), dtype=bool)
-            for k in keys_l:
-                mask &= (pdf[k] == pdf[k].iloc[-1]).to_numpy()
+            from anofox_forecast_spark.models.harness import _last_key_mask
+
+            mask = _last_key_mask(pdf, keys_l)
             carry = pdf.iloc[mask.nonzero()[0]]
             body = pdf.iloc[(~mask).nonzero()[0]]
             if len(body):
@@ -129,7 +129,7 @@ def ewm_mean(
 def _ewm_batch(body: pd.DataFrame, keys_l, value_col, out_col, alpha) -> pd.DataFrame:
     outs = np.empty(len(body))
     pos = 0
-    for _, g in body.groupby(keys_l, sort=False):
+    for _, g in body.groupby(keys_l, sort=False, dropna=False):
         y = g[value_col].to_numpy(dtype=np.float64)
         e = ewm_mean_np(y, alpha)
         outs[pos : pos + y.size] = e

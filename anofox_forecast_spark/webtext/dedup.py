@@ -68,12 +68,25 @@ def ngram_jaccard_pairs(
     ).filter(F.col("sh") != "")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # Candidate GENERATION only uses rare shingles (df-cap bounds the join
+    # fan-out); the Jaccard itself is then recomputed EXACTLY over the full
+    # shingle sets of each candidate pair, so hot shared shingles do not
+    # deflate the score — only pairs sharing *no* rare shingle are missed.
     rare = sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "sh")
-    pairs = (
+    cand = (
         rare.alias("a")
         .join(rare.alias("b"), on="sh")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     out = (
@@ -203,15 +216,36 @@ def _fnv1a64(s: str) -> int:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k, candidates from
-    16-bit chunk equality (pigeonhole: ≤3 differing bits ⇒ ≥1 equal chunk)."""
+    """Near-dup pairs by SimHash hamming distance ≤ k.
+
+    Candidates come from equality on one of ``max_hamming + 1`` bit-chunks
+    of the 64-bit signature — by pigeonhole, any pair with ≤ max_hamming
+    differing bits shares at least one whole chunk, so recall is 100% by
+    construction (the r1 version hardcoded 4×16-bit chunks, silently
+    missing pairs with 4..k diffs spread across all chunks).
+
+    Scale note: chunk width = 64/(k+1) bits; selectivity of the bucket
+    join degrades as k grows (width 6 ⇒ 1/64 collision rate). For large k
+    on a big corpus prefer a smaller k or MinHash-LSH; the chunk join is
+    still bounded (no all-pairs).
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the chunk-equality guarantee needs "
+            "max_hamming+1 <= 16 chunks of >= 4 bits; use MinHash-LSH beyond."
+        )
+    n_chunks = max(2, max_hamming + 1)
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sig = simhash_signatures(df, id_col, text_col)
     chunks = sig.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
-            for c in range(4)
+                     F.shiftright("simhash", offsets[c])
+                      .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("val"))
+            for c in range(n_chunks)
         ])).alias("cc"),
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
     cand = (

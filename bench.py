@@ -116,7 +116,10 @@ def main() -> None:
     timed("events_gapfill_locf", lambda: dq.q_gapfill_locf_1h(spark, SF_DIR).count())
     timed("events_forecast_snaive", lambda: dq.q_forecast_snaive_1h(spark, SF_DIR).count())
 
-    total = round(sum(timings.values()), 3)
+    # headline value = ENGINE work only; pages_materialize is synthetic-data
+    # generation (datagen), reported separately so the rate derivations and
+    # the headline are not inflated by input synthesis (~half the wall time)
+    total = round(sum(t for k, t in timings.items() if k != "pages_materialize"), 3)
     counters = {
         "raw_pages": n_raw,
         "rolled_points": rolled_points,
@@ -126,10 +129,11 @@ def main() -> None:
     }
     fc_sec = timings["pages_forecast_1d"]
     result = {
-        "metric": "rollup+gapfill+forecast pipeline, pages synthetic + driver tables",
+        "metric": "rollup+gapfill+forecast engine pipeline (datagen excluded), pages synthetic + driver tables",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "datagen_sec": timings.get("pages_materialize"),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "counters": counters,

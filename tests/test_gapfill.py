@@ -31,6 +31,16 @@ def test_fill_gaps_hourly(spark):
     assert [r.filled for r in out] == [False, False, True, True, False]
 
 
+def test_fill_gaps_null_measure_is_not_a_gap(spark):
+    """A genuinely-NULL value at an EXISTING timestamp must not be marked
+    filled — `filled` means the row was absent from the input."""
+    ts = _hours(0, 1, 3)
+    df = _mk(spark, [("a", ts[0], 1.0), ("a", ts[1], None), ("a", ts[2], 4.0)])
+    out = fill_gaps(df, ["sid"], "ts", ["y"], "1h").orderBy("ts").collect()
+    assert [r.ts.hour for r in out] == [0, 1, 2, 3]
+    assert [r.filled for r in out] == [False, False, True, False]
+
+
 def test_fill_gaps_monthly(spark):
     # Engine contract: month spines start at date_trunc'd bucket starts
     # (day 1), where Spark sequence and ref iterative add_months agree.

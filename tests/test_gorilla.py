@@ -136,3 +136,35 @@ def test_vectorized_encoder_matches_decoder():
         assert np.array_equal(
             np.asarray(v, float).view(np.uint64), out.view(np.uint64)
         )
+
+
+def test_timestamps_packed_bit_identical():
+    import numpy as np
+    from anofox_forecast_spark.compression.gorilla import (
+        encode_timestamps, encode_timestamps_packed,
+    )
+    rng = np.random.default_rng(9)
+    for ts in (
+        np.arange(0, 500) * 3_600_000_000,
+        np.cumsum(rng.integers(1, 10_000, 800)).astype(np.int64),
+        rng.integers(-2**50, 2**50, 200).astype(np.int64),
+    ):
+        assert encode_timestamps(ts) == encode_timestamps_packed(ts)
+
+
+def test_compress_chunks_subsecond_roundtrip(spark):
+    """Sub-second timestamps must round-trip exactly (r1 truncated to s)."""
+    import datetime as dt
+    from anofox_forecast_spark.compression.gorilla import (
+        compress_chunks, decompress_chunks,
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(milliseconds=125 * i), float(i) + 0.5)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "sid string, ts timestamp, y double")
+    blobs = compress_chunks(df, ["sid"], "ts", "y", chunk_freq="1d")
+    back = decompress_chunks(blobs, ["sid"]).orderBy("ts").collect()
+    assert [r.ts for r in back] == [r[1] for r in rows]
+    assert [r.value for r in back] == [r[2] for r in rows]

@@ -65,3 +65,17 @@ def test_fitted_values_nulls_through_arrow(spark):
     assert pdf["fitted"].isna().sum() == 12  # first season -> NULL
     tail = pdf["fitted"].to_numpy()[12:]
     assert np.allclose(tail.astype(float), [10.0 + i % 12 for i in range(8)])
+
+
+def test_forecast_keeps_null_key_series(spark):
+    """NULL keys (e.g. parse_url host on malformed URLs) are real series:
+    they must forecast, not vanish in pandas groupby dropna."""
+    rows = []
+    for sid in ("a", None):
+        for i in range(20):
+            rows.append((sid, T0 + dt.timedelta(hours=i), float(i)))
+    df = spark.createDataFrame(rows, "sid string, ts timestamp, y double")
+    out = forecast(df, ["sid"], "ts", "y", models=["naive"], horizon=3, freq="1h").toPandas()
+    assert len(out) == 2 * 3
+    null_rows = out[out.sid.isna()]
+    assert len(null_rows) == 3 and (null_rows["yhat"] == 19.0).all()

@@ -107,3 +107,24 @@ def test_late_rows_update_only_their_bucket(spark, tmp_path):
         - snapshot.agg(F.sum("crawl_count")).collect()[0][0]
     )
     assert total_delta == 1
+
+
+def test_crash_replay_does_not_double_count(spark, tmp_path):
+    """Crash between tier write and batch-log append: the replay must see
+    the per-partition __last_batch fingerprints and not merge the batch a
+    second time (at-least-once delivery, exactly-once effect)."""
+    import shutil
+
+    pages = synthesize_pages(spark, n_pages=3000, n_hosts=5, weeks=1).cache()
+    b1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    inc = IncrementalRollup(spark, str(tmp_path / "agg"), "1d")
+    inc.ingest(b1, "b1")
+    inc.ingest(b2, "b2")
+    # simulate the crash: data for b2 is committed but its log append is lost
+    shutil.rmtree(inc.batches_path)
+    inc._log_batch("b1", 0)  # b1 survived in the log, b2 did not
+    r = inc.ingest(b2, "b2")  # replay
+    assert not r["skipped"] and r.get("replay_completed")
+    total = inc.read().agg(F.sum("crawl_count")).collect()[0][0]
+    assert total == pages.count()

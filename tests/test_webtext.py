@@ -64,6 +64,61 @@ def test_simhash_near_dups(spark):
     assert (0, 3) in pairs
 
 
+def test_simhash_recall_vs_exact_hamming(spark):
+    """100% recall at hamming <= 7: chunk-equality candidates must surface
+    EVERY pair the exact all-pairs hamming finds (r1 bug: 4x16 chunks only
+    guaranteed hamming <= 3)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    base = list(rng.choice(vocab, size=40))
+    docs = []
+    for i in range(200):
+        words = list(base)
+        # perturb 0..6 positions: spreads pair hamming over 0..~14
+        for pos in rng.choice(40, size=rng.integers(0, 7), replace=False):
+            words[pos] = str(rng.choice(vocab))
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 7
+    sig = simhash_signatures(df, "doc_id", "text").toPandas().set_index("id")["simhash"]
+    sigs = sig.sort_index().to_numpy().astype(np.uint64)
+    x = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for b in range(64):
+        ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    ia, ib = np.where(np.triu(ham <= k, k=1))
+    exact_pairs = set(zip(ia.tolist(), ib.tolist()))
+    out = simhash_near_dups(df, "doc_id", "text", max_hamming=k).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert exact_pairs, "corpus should contain near-dup pairs"
+    assert exact_pairs <= got and got == exact_pairs
+
+
+def test_ngram_jaccard_exact_despite_hot_shingles(spark):
+    """Shared hot shingles must still count toward the intersection: the
+    df-cap only bounds candidate generation (r1 bug deflated the score)."""
+    hot = "alpha beta gamma"  # this 3-shingle appears in every doc -> hot
+    docs = [(i, f"{hot} filler{i} fill{i} pad{i} end{i}") for i in range(10)]
+    # 10 and 11 are near-dups sharing hot AND rare shingles
+    docs += [
+        (10, f"{hot} shared rare tail one two three"),
+        (11, f"{hot} shared rare tail one two four"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.3, max_shingle_freq=3
+    ).toPandas()
+    row = out[(out.id_a == 10) & (out.id_b == 11)]
+    assert len(row) == 1
+    # exact jaccard over FULL shingle sets (hot 3-grams included)
+    def sh(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    a, b = sh(docs[10][1]), sh(docs[11][1])
+    expect = len(a & b) / len(a | b)
+    assert abs(row.iloc[0]["jaccard"] - expect) < 1e-6
+
+
 def test_brute_force_cosine_topk(spark):
     rng = np.random.default_rng(42)
     base = rng.normal(size=8)
