@@ -174,6 +174,80 @@ def sanitize(
     raise ValueError(f"unknown policy {policy!r}")
 
 
+def infer_frequency_calendar(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    holidays=None,
+    tolerance: float = 0.5,
+) -> DataFrame:
+    """Business-day-aware modal spacing (ref time_series.rs:770-824):
+    non-business timestamps (weekends + holidays) are dropped BEFORE the
+    spacing histogram, so a Mon-Fri daily series infers 1d instead of
+    failing on the 3-day weekend jumps. ``holidays`` as in
+    core.calendar.with_calendar_annotations (dim frame / list / None)."""
+    from anofox_forecast_spark.core.calendar import with_calendar_annotations
+
+    biz = (
+        with_calendar_annotations(df, ts_col, holidays)
+        .filter(F.col("is_business_day"))
+        .drop("is_holiday", "is_business_day")
+    )
+    return infer_frequency(biz, keys, ts_col, tolerance)
+
+
+def infer_frequency_monthly(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tolerance: float = 0.5,
+) -> DataFrame:
+    """Calendar-month spacing: months_between consecutive points snapped to
+    whole months. A monthly/quarterly series whose second-spacing wobbles
+    over 28/30/31 days has a single modal MONTH spacing here (the plain
+    modal-seconds inference fails its tolerance on exactly those series).
+
+    Returns (keys…, freq_months: int, modal_ratio: double); freq_months
+    NULL when no modal month spacing reaches tolerance or spacings are not
+    month-aligned (months_between not integral).
+    """
+    w = _series_window(keys, ts_col)
+    diffs = (
+        df.select(
+            *keys,
+            F.months_between(
+                F.col(ts_col).cast("timestamp"),
+                F.lag(F.col(ts_col).cast("timestamp")).over(w),
+            ).alias("__mb"),
+        )
+        .filter(F.col("__mb").isNotNull())
+        # months_between is integral exactly when both points share the
+        # day-of-month (or are both end-of-month) — i.e. true month grid
+        .withColumn(
+            "__m",
+            F.when(F.col("__mb") == F.round("__mb", 0), F.col("__mb").cast("int")),
+        )
+    )
+    counted = diffs.groupBy(*keys, "__m").agg(F.count("*").alias("__n"))
+    totals = counted.groupBy(*keys).agg(F.sum("__n").alias("__total"))
+    best = counted.filter(F.col("__m").isNotNull()).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.desc("__n"), F.asc("__m"))
+        ),
+    ).filter(F.col("__rk") == 1)
+    return (
+        best.join(totals, on=list(keys))
+        .select(
+            *keys,
+            F.when(
+                F.col("__n") / F.col("__total") >= tolerance, F.col("__m")
+            ).alias("freq_months"),
+            (F.col("__n") / F.col("__total")).alias("modal_ratio"),
+        )
+    )
+
+
 def infer_frequency(
     df: DataFrame,
     keys: Sequence[str],

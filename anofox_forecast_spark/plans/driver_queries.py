@@ -728,6 +728,39 @@ def sql_topk_users():
     """
 
 
+_HOLIDAYS_2024 = ["2024-01-01", "2024-01-15", "2024-02-19"]  # in events range
+
+
+def q_calendar_business_days(spark, sf_dir):
+    """CalendarAnnotations (ref src/core/time_series.rs:109-160): holiday
+    dim broadcast join + is_holiday / is_business_day flags, aggregated
+    per (event_type, flags) to a verifiable summary."""
+    from anofox_forecast_spark.core.calendar import holiday_dim, with_calendar_annotations
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = holiday_dim(spark, _HOLIDAYS_2024)
+    ann = with_calendar_annotations(ev, "ts", dim)
+    return ann.groupBy("event_type", "is_holiday", "is_business_day").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+def sql_calendar_business_days():
+    # OR-chain, not IN: DuckDB evaluates `CAST(ts AS DATE) IN (DATE...)`
+    # as false for matching dates (observed 1.x quirk); `=` compares fine
+    hol = " OR ".join(f"CAST(ts AS DATE) = DATE '{d}'" for d in _HOLIDAYS_2024)
+    return f"""
+        SELECT event_type,
+               ({hol}) AS is_holiday,
+               (dayofweek(ts) NOT IN (0, 6)) AND NOT ({hol}) AS is_business_day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS value_sum
+        FROM events
+        GROUP BY 1, 2, 3
+    """
+
+
 # ---- rows-only entries (non-SQL-expressible per-series kernels; the
 # driver records a weaker rows-only check — SURVEY §5 test plan item c)
 
@@ -794,7 +827,78 @@ def q_ewm_1d(spark, sf_dir):
 
     series = _daily_series(spark, sf_dir)
     out = ewm_mean(series, ["event_type"], "bucket_start", "y", alpha=0.3)
-    return out.select("event_type", "bucket_start", F.round("y_ewm", 6).alias("y_ewm"))
+    # 4dp: the oracle computes the algebraically-equal weighted-sum unroll,
+    # whose float accumulation order differs from the recursion in the last
+    # ulps — 6dp rounding straddles a boundary on ~1/150 rows
+    return out.select("event_type", "bucket_start", F.round("y_ewm", 4).alias("y_ewm"))
+
+
+def sql_ewm_1d():
+    """EWM recursion e_i = αy_i + (1−α)e_{i−1}, e_1 = y_1 unrolls to the
+    weighted sum e_i = Σ_{t=2..i} α(1−α)^{i−t} y_t + (1−α)^{i−1} y_1 —
+    same trick as the SES oracle, per ROW instead of only the final level
+    (O(n²) self-join, fine at oracle scale)."""
+    return (
+        _DUCK_DAILY
+        + """
+        , indexed AS (
+            SELECT event_type, bucket_start, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn
+            FROM series
+        )
+        SELECT a.event_type, a.bucket_start,
+               round(sum(CASE WHEN b.rn = 1 THEN b.y * power(0.7, a.rn - 1)
+                              ELSE 0.3 * b.y * power(0.7, a.rn - b.rn) END), 4) AS y_ewm
+        FROM indexed a
+        JOIN indexed b ON a.event_type = b.event_type AND b.rn <= a.rn
+        GROUP BY a.event_type, a.bucket_start
+        """
+    )
+
+
+def sql_cross_validation_1d():
+    """Expanding-origin CV folds for naive / seasonal-naive are pure
+    window+join SQL: origins 15, 20, 25… while origin+5 ≤ n; naive predicts
+    y[origin] flat, seasonal-naive cycles the last 7 train points."""
+    return (
+        _DUCK_DAILY
+        + """
+        , indexed AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM series
+        ), folds AS (
+            SELECT DISTINCT i.event_type, f.fold, 15 + f.fold * 5 AS origin
+            FROM indexed i
+            JOIN (SELECT unnest(generate_series(0, 49)) AS fold) f
+              ON 15 + f.fold * 5 + 5 <= i.n
+        ), pts AS (
+            SELECT f.event_type, f.fold, f.origin, s.step,
+                   a.y AS actual,
+                   pn.y AS pred_naive,
+                   ps.y AS pred_snaive
+            FROM folds f
+            CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s
+            JOIN indexed a  ON a.event_type = f.event_type AND a.rn = f.origin + s.step
+            JOIN indexed pn ON pn.event_type = f.event_type AND pn.rn = f.origin
+            JOIN indexed ps ON ps.event_type = f.event_type
+                           AND ps.rn = f.origin - 7 + ((s.step - 1) % 7) + 1
+        ), scored AS (
+            SELECT event_type, 'naive' AS model, fold, origin, actual, pred_naive AS pred
+            FROM pts
+            UNION ALL
+            SELECT event_type, 'seasonal_naive', fold, origin, actual, pred_snaive
+            FROM pts
+        )
+        SELECT event_type, model, CAST(fold AS INTEGER) AS fold,
+               CAST(origin AS INTEGER) AS origin_index,
+               round(avg(abs(actual - pred)), 6) AS mae,
+               round(sqrt(avg((actual - pred) * (actual - pred))), 6) AS rmse
+        FROM scored
+        GROUP BY event_type, model, fold, origin
+        """
+    )
 
 
 def q_forecast_ets_theta_1d(spark, sf_dir):
@@ -830,6 +934,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_historic_avg_1d": q_metrics_historic_avg_1d,
         "expanding_window_1d": q_expanding_window_1d,
         "topk_users": q_topk_users,
+        "calendar_business_days": q_calendar_business_days,
         "stl_decompose_1d": q_stl_decompose_1d,
         "changepoint_pelt_1d": q_changepoint_pelt_1d,
         "cross_validation_1d": q_cross_validation_1d,
@@ -862,6 +967,9 @@ def build_oracle_sql() -> dict[str, str]:
         "metrics_historic_avg_1d": sql_metrics_historic_avg_1d(),
         "expanding_window_1d": sql_expanding_window_1d(),
         "topk_users": sql_topk_users(),
-        # stl/pelt/cv/bootstrap/features/ewm/ets-theta: per-series kernels,
+        "calendar_business_days": sql_calendar_business_days(),
+        "ewm_1d": sql_ewm_1d(),
+        "cross_validation_1d": sql_cross_validation_1d(),
+        # stl/pelt/bootstrap/features/ets-theta: per-series kernels,
         # not ANSI-SQL-expressible → rows-only driver check by design
     }

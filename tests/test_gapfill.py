@@ -112,3 +112,37 @@ def test_infer_frequency(spark):
     row = infer_frequency(df, ["sid"], "ts").collect()[0]
     assert row.freq_seconds == 3600
     assert abs(row.modal_ratio - 0.75) < 1e-9
+
+
+def test_infer_frequency_calendar_business_days(spark):
+    """Mon-Fri daily series: plain modal inference sees 86400 at ratio
+    ~0.8 already, but with weekend gaps + holidays it can fail tolerance;
+    the calendar variant drops non-business days first (ref
+    time_series.rs:770-824)."""
+    from anofox_forecast_spark.core import infer_frequency_calendar
+
+    rows = []
+    d = dt.datetime(2024, 1, 1)
+    while len(rows) < 20:
+        if d.weekday() < 5 and d.date() != dt.date(2024, 1, 10):
+            rows.append(("a", d, 1.0))
+        d += dt.timedelta(days=1)
+    df = _mk(spark, rows)
+    out = infer_frequency_calendar(
+        df, ["sid"], "ts", holidays=["2024-01-10"], tolerance=0.6
+    ).collect()
+    assert out[0].freq_seconds == 86400
+
+
+def test_infer_frequency_monthly_snaps_calendar_months(spark):
+    """Monthly series with 28/30/31-day spacing: modal-seconds inference
+    fails its tolerance, the month-grid variant returns 1 month."""
+    from anofox_forecast_spark.core import infer_frequency, infer_frequency_monthly
+
+    rows = [("a", dt.datetime(2024, 1 + (i % 12), 15) + dt.timedelta(days=365 * (i // 12)), 1.0)
+            for i in range(14)]
+    df = _mk(spark, rows)
+    plain = infer_frequency(df, ["sid"], "ts", tolerance=0.7).collect()[0]
+    assert plain.freq_seconds is None  # 31-day mode covers only ~54% of diffs
+    monthly = infer_frequency_monthly(df, ["sid"], "ts", tolerance=0.7).collect()[0]
+    assert monthly.freq_months == 1 and monthly.modal_ratio > 0.9
