@@ -290,3 +290,86 @@ def infer_frequency(
             (F.col("__n") / F.col("__total")).alias("modal_ratio"),
         )
     )
+
+
+def gapfill_dense(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    freq: str,
+    method: str = "locf",
+    fill_edges: bool = False,
+) -> DataFrame:
+    """Fused gap-fill: spine + fill in ONE pass (VERDICT r1 roadmap #9).
+
+    ``fill_gaps → locf/interpolate_linear`` costs a groupBy (spine), a join,
+    and a chain of window nodes over one sort. This variant does the whole
+    job with one shuffle: repartition by series key, sort by ts, then a
+    batched mapInPandas densifies each series onto the frequency grid and
+    fills with vectorized numpy (LOCF via maximum.accumulate indexing,
+    linear interpolation via np.interp). Output rows/values are identical
+    to the unfused chain (checksum-equality tested).
+
+    method: "none" (NULL gaps), "locf", or "interp". Seconds-based
+    frequencies only (tiers are seconds-based; monthly spines go through
+    fill_gaps, whose Spark `sequence` handles calendar months).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+    from anofox_forecast_spark.models.harness import batched_series_apply
+
+    if method not in ("none", "locf", "interp"):
+        raise ValueError(f"unknown method {method!r}")
+    f = parse_frequency(freq)
+    if f.kind != "duration":
+        raise ValueError("gapfill_dense supports duration frequencies; use fill_gaps")
+    step_us = f.seconds * 1_000_000
+
+    keys_l = list(keys)
+    vcols = list(value_cols)
+    # value columns come back as DOUBLE (the numpy fill path is float64);
+    # gap rows are NULL (NaN normalized JVM-side below)
+    out_schema = StructType(
+        [df.schema[k] for k in keys_l]
+        + [df.schema[ts_col]]
+        + [StructField(c, DoubleType()) for c in vcols]
+        + [StructField("filled", BooleanType())]
+    )
+
+    def per_series(g: pd.DataFrame, out: dict) -> None:
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        n_dense = int((ts[-1] - ts[0]) // step_us) + 1
+        grid = ts[0] + step_us * np.arange(n_dense)
+        pos = (ts - ts[0]) // step_us  # observed rows' slots (grid-aligned input)
+        observed = np.zeros(n_dense, dtype=bool)
+        observed[pos] = True
+        for k in keys_l:
+            out[k].append(np.repeat(g[k].iloc[0], n_dense))
+        out[ts_col].append(grid.astype("datetime64[us]"))
+        out["filled"].append(~observed)
+        for c in vcols:
+            v = np.full(n_dense, np.nan)
+            v[pos] = g[c].to_numpy(dtype=np.float64)
+            if method == "locf":
+                idx = np.where(~np.isnan(v), np.arange(n_dense), -1)
+                idx = np.maximum.accumulate(idx)
+                v = np.where(idx >= 0, v[np.maximum(idx, 0)], np.nan)
+            elif method == "interp":
+                valid = ~np.isnan(v)
+                if valid.any():
+                    xi = np.flatnonzero(valid)
+                    v_new = np.interp(np.arange(n_dense), xi, v[xi])
+                    if not fill_edges:  # np.interp clamps edges flat — undo
+                        v_new[: xi[0]] = np.nan
+                        v_new[xi[-1] + 1:] = np.nan
+                    v = np.where(valid, v, v_new)
+            out[c].append(v)
+
+    out = batched_series_apply(df, keys_l, ts_col, per_series, out_schema)
+    for c in vcols:
+        out = out.withColumn(c, nan_to_null(F.col(c)))
+    return out

@@ -146,3 +146,29 @@ def test_infer_frequency_monthly_snaps_calendar_months(spark):
     assert plain.freq_seconds is None  # 31-day mode covers only ~54% of diffs
     monthly = infer_frequency_monthly(df, ["sid"], "ts", tolerance=0.7).collect()[0]
     assert monthly.freq_months == 1 and monthly.modal_ratio > 0.9
+
+
+def test_gapfill_dense_matches_unfused_chain(spark):
+    """Fused spine+fill (one mapInPandas) == fill_gaps→locf/interp chain."""
+    from anofox_forecast_spark.core.gapfill import gapfill_dense
+
+    ts = _hours(0, 1, 4, 5, 9)
+    df = _mk(spark, [("a", t, float(i * i)) for i, t in enumerate(ts)]
+             + [("b", ts[0], 7.0), ("b", ts[2], None), ("b", ts[4], 3.0)])
+
+    for method, chain in (
+        ("locf", lambda d: locf(d, ["sid"], "ts", ["y"])),
+        ("interp", lambda d: interpolate_linear(d, ["sid"], "ts", ["y"])),
+        ("none", lambda d: d),
+    ):
+        want = chain(fill_gaps(df, ["sid"], "ts", ["y"], "1h")) \
+            .select("sid", "ts", "y", "filled").orderBy("sid", "ts").collect()
+        got = gapfill_dense(df, ["sid"], "ts", ["y"], "1h", method=method) \
+            .select("sid", "ts", "y", "filled").orderBy("sid", "ts").collect()
+        assert len(got) == len(want), method
+        for g, w in zip(got, want):
+            assert (g.sid, g.ts, g.filled) == (w.sid, w.ts, w.filled), method
+            if w.y is None:
+                assert g.y is None, (method, g)
+            else:
+                assert g.y is not None and abs(g.y - w.y) < 1e-9, (method, g, w)
