@@ -728,6 +728,121 @@ def sql_topk_users():
     """
 
 
+def _intermittent_series(spark, sf_dir) -> DataFrame:
+    """Deterministically intermittent daily series: zero out days whose
+    count is not divisible by 3 (same transform in the oracle SQL)."""
+    s = _daily_series(spark, sf_dir)
+    return s.withColumn(
+        "y",
+        F.when(F.col("y").cast("long") % 3 == 0, F.col("y")).otherwise(F.lit(0.0)),
+    )
+
+
+_DUCK_INTERMITTENT = (
+    _DUCK_DAILY
+    + """
+    , s2 AS (
+        SELECT event_type, bucket_start,
+               CASE WHEN CAST(y AS BIGINT) % 3 = 0 THEN y ELSE 0.0 END AS y
+        FROM series
+    ), indexed AS (
+        SELECT event_type, bucket_start, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn,
+               max(bucket_start) OVER (PARTITION BY event_type) AS last_b
+        FROM s2
+    )
+"""
+)
+
+# SES final level as a weighted sum (l1 = x1):
+# l_K = (1-a)^(K-1) x_1 + Σ_{j=2..K} a (1-a)^(K-j) x_j  — same unroll as
+# the forecast_ses_fixed_1d oracle, reused for croston/TSB components.
+_SES_UNROLL = (
+    "sum(CASE WHEN {k} = 1 THEN {x} * power({c}, {kk} - 1) "
+    "ELSE {a} * {x} * power({c}, {kk} - {k}) END)"
+)
+
+
+def q_forecast_croston_1d(spark, sf_dir):
+    """Croston classic (α=0.1) on an intermittent daily series — the
+    demand/interval SES levels unroll to weighted sums, so DuckDB can
+    verify the exact flat forecast (ref croston.rs semantics)."""
+    out = forecast(
+        _intermittent_series(spark, sf_dir), ["event_type"], "bucket_start",
+        "y", models=["croston"], horizon=4, freq="1d",
+    )
+    return out.select("event_type", "step", "ds", F.round("yhat", 6).alias("yhat"))
+
+
+def sql_forecast_croston_1d():
+    d_lvl = _SES_UNROLL.format(k="k", kk="kk", x="d", a="0.1", c="0.9")
+    i_lvl = _SES_UNROLL.format(k="k", kk="kk", x="gap", a="0.1", c="0.9")
+    return (
+        _DUCK_INTERMITTENT
+        + f"""
+        , nz AS (
+            SELECT event_type, y AS d, rn, last_b,
+                   row_number() OVER (PARTITION BY event_type ORDER BY rn) AS k,
+                   count(*) OVER (PARTITION BY event_type) AS kk
+            FROM indexed WHERE y > 0
+        ), iv AS (
+            SELECT *, CAST(COALESCE(rn - lag(rn) OVER (PARTITION BY event_type ORDER BY rn),
+                           rn) AS DOUBLE) AS gap
+            FROM nz
+        ), lvl AS (
+            SELECT event_type, any_value(last_b) AS last_b,
+                   {d_lvl} AS d_level, {i_lvl} AS i_level
+            FROM iv GROUP BY event_type HAVING count(*) >= 2
+        )
+        SELECT event_type, CAST(s.step AS INTEGER) AS step,
+               last_b + to_seconds(CAST(s.step * 86400 AS BIGINT)) AS ds,
+               round(d_level / greatest(i_level, 0.001), 6) AS yhat
+        FROM lvl CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS step) s
+        """
+    )
+
+
+def q_forecast_tsb_1d(spark, sf_dir):
+    """TSB (α_d=α_p=0.1): demand-SES × probability-SES (ref tsb.rs)."""
+    out = forecast(
+        _intermittent_series(spark, sf_dir), ["event_type"], "bucket_start",
+        "y", models={"tsb": {"alpha_d": 0.1, "alpha_p": 0.1}},
+        horizon=4, freq="1d",
+    )
+    return out.select("event_type", "step", "ds", F.round("yhat", 6).alias("yhat"))
+
+
+def sql_forecast_tsb_1d():
+    d_lvl = _SES_UNROLL.format(k="k", kk="kk", x="d", a="0.1", c="0.9")
+    p_lvl = _SES_UNROLL.format(k="rn", kk="nn", x="p", a="0.1", c="0.9")
+    return (
+        _DUCK_INTERMITTENT
+        + f"""
+        , probs AS (
+            SELECT event_type, rn, last_b,
+                   CASE WHEN y != 0 THEN 1.0 ELSE 0.0 END AS p,
+                   count(*) OVER (PARTITION BY event_type) AS nn
+            FROM indexed
+        ), p_level AS (
+            SELECT event_type, any_value(last_b) AS last_b, {p_lvl} AS pl
+            FROM probs GROUP BY event_type
+        ), nz AS (
+            SELECT event_type, y AS d,
+                   row_number() OVER (PARTITION BY event_type ORDER BY rn) AS k,
+                   count(*) OVER (PARTITION BY event_type) AS kk
+            FROM indexed WHERE y > 0
+        ), d_level AS (
+            SELECT event_type, {d_lvl} AS dl FROM nz GROUP BY event_type
+        )
+        SELECT p.event_type, CAST(s.step AS INTEGER) AS step,
+               p.last_b + to_seconds(CAST(s.step * 86400 AS BIGINT)) AS ds,
+               round(d.dl * p.pl, 6) AS yhat
+        FROM p_level p JOIN d_level d USING (event_type)
+        CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS step) s
+        """
+    )
+
+
 _HOLIDAYS_2024 = ["2024-01-01", "2024-01-15", "2024-02-19"]  # in events range
 
 
@@ -935,6 +1050,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_window_1d": q_expanding_window_1d,
         "topk_users": q_topk_users,
         "calendar_business_days": q_calendar_business_days,
+        "forecast_croston_1d": q_forecast_croston_1d,
+        "forecast_tsb_1d": q_forecast_tsb_1d,
         "stl_decompose_1d": q_stl_decompose_1d,
         "changepoint_pelt_1d": q_changepoint_pelt_1d,
         "cross_validation_1d": q_cross_validation_1d,
@@ -968,6 +1085,8 @@ def build_oracle_sql() -> dict[str, str]:
         "expanding_window_1d": sql_expanding_window_1d(),
         "topk_users": sql_topk_users(),
         "calendar_business_days": sql_calendar_business_days(),
+        "forecast_croston_1d": sql_forecast_croston_1d(),
+        "forecast_tsb_1d": sql_forecast_tsb_1d(),
         "ewm_1d": sql_ewm_1d(),
         "cross_validation_1d": sql_cross_validation_1d(),
         # stl/pelt/bootstrap/features/ets-theta: per-series kernels,

@@ -115,6 +115,18 @@ def main() -> None:
     n_forecast_rows = timed("pages_forecast_1d", forecast_job)
     n_series = t1d.select("lang", "host").distinct().count()
 
+    def compress_job():
+        from anofox_forecast_spark.compression.gorilla import compress_chunks
+
+        chunks = compress_chunks(
+            t1h.select("lang", "host", "bucket_start",
+                       F.col("crawl_count").cast("double").alias("y")),
+            ["lang", "host"], "bucket_start", "y", chunk_freq="7d",
+        )
+        return chunks.count()
+
+    n_chunks = timed("pages_compress_7d", compress_job)
+
     # --- driver-table queries --------------------------------------------
     timed("events_rollup_1h", lambda: dq.q_tier_rollup_1h(spark, SF_DIR).count())
     timed("events_gapfill_locf", lambda: dq.q_gapfill_locf_1h(spark, SF_DIR).count())
@@ -130,6 +142,7 @@ def main() -> None:
         "gapfilled_points": n_filled,
         "forecast_rows": n_forecast_rows,
         "series": n_series,
+        "compressed_chunks": n_chunks,
     }
     fc_sec = timings["pages_forecast_1d"]
     result = {

@@ -35,3 +35,41 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     ga = got.agg(F.bit_xor(F.xxhash64(*cols))).collect()[0][0]
     wa = want.agg(F.bit_xor(F.xxhash64(*cols))).collect()[0][0]
     assert ga == wa
+
+
+def test_stateful_ses_level_matches_batch_kernel(spark, tmp_path):
+    """applyInPandasWithState SES fold over a two-batch stream == the batch
+    SES level over the concatenated series (state carries across
+    micro-batches)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from anofox_forecast_spark.models.kernels import ses
+    from anofox_forecast_spark.streaming.stateful import streaming_ses_level
+
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 1, 1)
+    y = 50 + rng.normal(0, 5, 40)
+    rows = [("a", t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(y)]
+    src = str(tmp_path / "ses_stream")
+    ddl = "sid string, ts timestamp, y double"
+    # two files → availableNow processes them as (up to) separate batches
+    spark.createDataFrame(rows[:25], ddl).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[25:], ddl).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_ses_level(stream, ["sid"], "ts", "y", alpha=0.3)
+    q = (
+        out.writeStream.format("memory").queryName("ses_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("select * from ses_state where n_points = 40")
+        .collect()
+    )
+    assert len(got) == 1
+    batch_level = ses(y, 1, alpha=0.3).yhat[0]  # SES forecast == final level
+    assert abs(got[0].level - batch_level) < 1e-9

@@ -100,6 +100,45 @@ def main() -> None:
         ["MapInPandas", "Exchange", "Sort"],
     ))
 
+    # 7. fused gap-fill: ONE exchange + sort feeding a single MapInPandas
+    # (replaces spine-agg + join + window chain)
+    from anofox_forecast_spark.core.gapfill import gapfill_dense
+
+    gd = gapfill_dense(
+        t1h.select("lang", "host", "bucket_start",
+                   F.col("crawl_count").cast("double").alias("y")),
+        ["lang", "host"], "bucket_start", ["y"], "1h", method="locf")
+    sections.append((
+        "Fused gap-fill (one repartition -> sort -> MapInPandas, no join/window)",
+        grab(gd),
+        ["MapInPandas", "Exchange", "Sort"],
+    ))
+
+    # 8. calendar annotations: holiday dim broadcast, fact side not shuffled
+    from anofox_forecast_spark.core.calendar import holiday_dim, with_calendar_annotations
+
+    ann = with_calendar_annotations(
+        t1h.select("lang", "host", "bucket_start"),
+        "bucket_start", holiday_dim(spark, ["2024-01-01", "2024-02-19"]))
+    sections.append((
+        "Calendar annotations (holiday dim broadcast join)",
+        grab(ann),
+        ["BroadcastHashJoin", "BroadcastExchange"],
+    ))
+
+    # 9. Gorilla compression: same fused repartition->sort->MapInPandas shape
+    from anofox_forecast_spark.compression.gorilla import compress_chunks
+
+    ch = compress_chunks(
+        t1h.select("lang", "host", "bucket_start",
+                   F.col("crawl_count").cast("double").alias("y")),
+        ["lang", "host"], "bucket_start", "y", chunk_freq="7d")
+    sections.append((
+        "Gorilla chunk compression (repartition -> sort -> MapInPandas)",
+        grab(ch),
+        ["MapInPandas", "Exchange", "Sort"],
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
