@@ -124,7 +124,12 @@ def _css_arima(z: np.ndarray, p: int, q: int, ar, ma, intercept: float) -> float
         pred += ar[i] * (z[t_idx - 1 - i] - intercept)
     if q == 0:
         e = z[start:] - pred
-        return float(e @ e)
+        # sequential accumulation (not pairwise dot): the ref sums css
+        # scalar-by-scalar, and NM paths are sensitive to last-ulp drift
+        css = 0.0
+        for v in (e * e).tolist():
+            css += v
+        return css
     zs = z.tolist()
     preds = pred.tolist()
     ma_t = [(1 + i, float(ma[i])) for i in range(q)]
@@ -222,7 +227,10 @@ def _css_sarima(z, p, q, P, Q, s, ar, ma, sar, sma, intercept) -> float:
     )
     if not ma_t:
         e = z[start:] - pred
-        return float(e @ e)
+        css = 0.0
+        for v in (e * e).tolist():  # sequential, matching the scalar loop
+            css += v
+        return css
     zs = z.tolist()
     preds = pred.tolist()
     resid = [0.0] * n
@@ -353,7 +361,13 @@ def arima(
     yhat = integrate(fc_diff, y, d) if d > 0 else fc_diff
 
     hs = np.arange(1, h + 1, dtype=np.float64)
-    lo, hi = _interval(yhat, np.sqrt(variance * hs), level)
+    if seasonal:
+        # ref SARIMA predict_with_intervals (model.rs:1523-1546):
+        # var(h) = σ²(1 + 0.1h) — a flat heuristic, NOT the ARIMA σ²h
+        se = np.sqrt(variance * (1.0 + 0.1 * hs))
+    else:
+        se = np.sqrt(variance * hs)
+    lo, hi = _interval(yhat, se, level)
     return KernelResult(
         yhat, lo, hi, fitted_d, resid,
         {"order": (p, d, q), "seasonal_order": (P, D, Q, s),

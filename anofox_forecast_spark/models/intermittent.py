@@ -347,6 +347,8 @@ def seasonal_es(
     hs = np.arange(h)
     yhat = seasonal_values[hs % m]
     z = z_for_level(level)
-    se = np.sqrt(variance * (1.0 + 0.1 * hs))
+    # ref seasonal_es.rs:342-363: se = sqrt(variance * sqrt(1 + 0.1h))
+    # (the fan factor multiplies the VARIANCE before the final sqrt)
+    se = np.sqrt(variance * np.sqrt(1.0 + 0.1 * hs))
     return KernelResult(yhat, yhat - z * se, yhat + z * se, fitted, resid,
                         {"alpha": alpha})

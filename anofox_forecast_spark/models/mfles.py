@@ -217,7 +217,9 @@ def mfles(
     else:
         variance = 0.0
     zq = z_for_level(level)
-    se = np.sqrt(variance)
+    # ref mfles.rs:1104-1146: sd·sqrt(h) widening (h 1-based), sample
+    # variance of residuals — not a flat band
+    se = np.sqrt(variance) * np.sqrt(np.arange(1, h + 1, dtype=np.float64))
     return KernelResult(
         yhat, yhat - zq * se, yhat + zq * se, fitted_orig, resid_orig,
         {"multiplicative": use_mult, "robust": robust_mode,
