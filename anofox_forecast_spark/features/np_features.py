@@ -396,7 +396,9 @@ def linear_trend(y, attribute="slope"):  # trend.rs:23
     stderr = math.sqrt(mse / ss_xx) if ss_xx > 0 else np.nan
     t = slope / stderr if (stderr and stderr > 1e-10) else np.inf
     pvalue = 2.0 * (1.0 - _normal_cdf(abs(t)))
-    rvalue = math.copysign(math.sqrt(max(r2, 0.0)), slope)
+    # ref trend.rs LinearTrendResult: rvalue = sqrt(r_squared), UNSIGNED
+    # (scipy/tsfresh sign it by slope; the reference does not)
+    rvalue = math.sqrt(max(r2, 0.0))
     return {
         "slope": float(slope), "intercept": float(intercept),
         "r_squared": float(r2), "rvalue": float(rvalue),
@@ -409,23 +411,47 @@ def _normal_cdf(x):
 
 
 def agg_linear_trend(y, chunk_len=5, agg="mean", attribute="slope"):  # trend.rs:115
+    """tsfresh semantics (ref trend.rs:115-147): AGGREGATE each chunk
+    (mean/var/min/max of its values), then ONE regression over the
+    aggregated sequence; return that trend's attribute. (r1 wrongly
+    regressed per chunk and aggregated the attributes.) Chunk var is
+    POPULATION variance, matching the ref aggregate_chunk helper."""
     if y.size == 0 or chunk_len == 0 or chunk_len > y.size:
         return np.nan
-    vals = []
+    aggd = []
     for start in range(0, y.size, chunk_len):
         chunk = y[start : start + chunk_len]
-        if chunk.size >= 2:
-            vals.append(linear_trend(chunk, attribute))
-    vals = np.array([v for v in vals if np.isfinite(v)])
-    if vals.size == 0:
+        v = {
+            "mean": float(chunk.mean()),
+            "var": float(chunk.var()),
+            "std": float(chunk.std()),
+            "min": float(chunk.min()),
+            "max": float(chunk.max()),
+        }.get(agg, np.nan)
+        if np.isfinite(v):
+            aggd.append(v)
+    if len(aggd) < 2:
         return np.nan
-    return {
-        "mean": float(vals.mean()),
-        "var": float(vals.var(ddof=1)) if vals.size >= 2 else np.nan,
-        "std": float(np.sqrt(vals.var(ddof=1))) if vals.size >= 2 else np.nan,
-        "min": float(vals.min()),
-        "max": float(vals.max()),
-    }.get(agg, np.nan)
+    return linear_trend(np.asarray(aggd), attribute)
+
+
+def ar_coefficient(y, k=10, coeff=0):  # trend.rs:269-330
+    """tsfresh ar_coefficient: OLS AR(k) with intercept via normal
+    equations; coeff 0 = intercept, coeff i = phi_i (1-indexed lags)."""
+    n = y.size
+    if n <= k or k == 0 or coeff > k:
+        return np.nan
+    if n - k < k + 2:
+        return np.nan
+    rows = np.column_stack(
+        [np.ones(n - k)] + [y[k - j : n - j] for j in range(1, k + 1)]
+    )
+    target = y[k:]
+    try:
+        beta = np.linalg.solve(rows.T @ rows, rows.T @ target)
+    except np.linalg.LinAlgError:
+        return np.nan
+    return float(beta[coeff])
 
 
 def ar_coefficient_yule_walker(y, k=1, order=4):  # trend.rs:386
