@@ -440,6 +440,10 @@ def _hill_climb(y, h, level, s, d, D, max_p, max_q):
     return best, best_aic, len(evals)
 
 
+_AUTO_ARIMA_CACHE: dict[tuple, KernelResult] = {}
+_AUTO_ARIMA_CACHE_MAX = 128
+
+
 def auto_arima(
     y: np.ndarray,
     h: int,
@@ -451,7 +455,22 @@ def auto_arima(
     seasonal: bool | None = None,
     true_stepwise: bool = False,
 ) -> KernelResult:
-    """Grid-stepwise AutoARIMA, min-AIC (ref auto_arima.rs:608-700)."""
+    """Grid-stepwise AutoARIMA, min-AIC (ref auto_arima.rs:608-700).
+
+    Results are memoized per (series bytes, args) — the search fits ~10²
+    candidates, and the same series is commonly refit (cross-validation
+    folds, repeated gates, per-model sweeps). Pure function, so the cache
+    is exact; entries are deep-copied out because callers (exog path)
+    mutate KernelResult in place.
+    """
+    import copy as _copy
+
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    cache_key = (y.tobytes(), h, level, m, max_p, max_q, max_d, seasonal,
+                 true_stepwise)
+    hit = _AUTO_ARIMA_CACHE.get(cache_key)
+    if hit is not None:
+        return _copy.deepcopy(hit)
     n = y.size
     s = m if (seasonal if seasonal is not None else m > 1) else 1
     min_required = 3 * s if s > 1 else 10
@@ -479,6 +498,8 @@ def auto_arima(
             raise InsufficientData("no ARIMA candidate fit")
         best.params["n_evals"] = n_evals
         best.params["search"] = "true_stepwise"
+        if len(_AUTO_ARIMA_CACHE) < _AUTO_ARIMA_CACHE_MAX:
+            _AUTO_ARIMA_CACHE[cache_key] = _copy.deepcopy(best)
         return best
 
     # candidate set per (d, D) — ref stepwise_candidates (auto_arima.rs:216-302)
@@ -514,4 +535,6 @@ def auto_arima(
     if best is None:
         raise InsufficientData("no ARIMA candidate fit")
     best.params["scores_top"] = dict(sorted(scores.items(), key=lambda kv: kv[1])[:5])
+    if len(_AUTO_ARIMA_CACHE) < _AUTO_ARIMA_CACHE_MAX:
+        _AUTO_ARIMA_CACHE[cache_key] = _copy.deepcopy(best)
     return best
