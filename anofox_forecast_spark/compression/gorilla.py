@@ -344,6 +344,33 @@ else:
 
 # ------------------------------------------------------------- Spark layer
 
+#: on-disk chunk-blob header: magic + format version + timestamp unit.
+#: r2 blobs had no header and µs timestamps were a silent format break from
+#: r1's seconds (ADVICE r2); the header makes the unit self-describing so a
+#: persisted blob can never decode under the wrong epoch scale again.
+_BLOB_MAGIC = b"GORv"
+_UNIT_CODES = {"us": b"u", "s": b"s"}
+_UNIT_NAMES = {v: k for k, v in _UNIT_CODES.items()}
+
+
+def _wrap_blob(raw: bytes, unit: str = "us") -> bytes:
+    return _BLOB_MAGIC + _UNIT_CODES[unit] + raw
+
+
+def _unwrap_blob(blob: bytes) -> tuple[bytes, str]:
+    """Strip and validate the header; reject pre-header (≤r2) blobs loudly
+    rather than decoding them to epoch-1970 garbage."""
+    if len(blob) >= 5 and blob[:4] == _BLOB_MAGIC:
+        unit = _UNIT_NAMES.get(blob[4:5])
+        if unit is None:
+            raise ValueError(f"unknown gorilla blob unit byte {blob[4:5]!r}")
+        return blob[5:], unit
+    raise ValueError(
+        "gorilla blob lacks the GORv header: pre-r3 blobs are incompatible "
+        "(r2 wrote µs, r1 wrote seconds, neither tagged) — re-compress"
+    )
+
+
 def compress_chunks(
     df,
     keys: Sequence[str],
@@ -400,8 +427,8 @@ def compress_chunks(
                 out[k].append([g[k].iloc[0]])
             out["chunk_start"].append([seg_chunk])
             out["n_points"].append([np.int32(seg_ts.size)])
-            out["ts_blob"].append([default_encode_timestamps(seg_ts)])
-            out["val_blob"].append([default_encode_values(seg_vals)])
+            out["ts_blob"].append([_wrap_blob(default_encode_timestamps(seg_ts))])
+            out["val_blob"].append([_wrap_blob(default_encode_values(seg_vals))])
 
     from anofox_forecast_spark.models.harness import batched_series_apply
 
@@ -433,13 +460,15 @@ def decompress_chunks(df, keys: Sequence[str]):
         frames = []
         for _, r in pdf.iterrows():
             n = int(r["n_points"])
-            ts = decode_timestamps(bytes(r["ts_blob"]), n)
-            vals = decode_values(bytes(r["val_blob"]), n)
+            ts_raw, unit = _unwrap_blob(bytes(r["ts_blob"]))
+            val_raw, _ = _unwrap_blob(bytes(r["val_blob"]))
+            ts = decode_timestamps(ts_raw, n)
+            vals = decode_values(val_raw, n)
             frames.append(
                 pd.DataFrame(
                     {
                         **{k: [r[k]] * n for k in keys_l},
-                        "ts": pd.to_datetime(ts, unit="us"),
+                        "ts": pd.to_datetime(ts, unit=unit),
                         "value": vals,
                     }
                 )

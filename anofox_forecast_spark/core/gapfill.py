@@ -342,9 +342,26 @@ def gapfill_dense(
 
     def per_series(g: pd.DataFrame, out: dict) -> None:
         ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        # grid-alignment guard (ADVICE r2): an off-grid or duplicate
+        # timestamp would silently floor onto the previous slot /
+        # overwrite — diverging from the fill_gaps chain this function
+        # claims checksum-equality with. Fail loudly instead.
+        off = (ts - ts[0]) % step_us
+        if off.any():
+            key_repr = tuple(g[k].iloc[0] for k in keys_l)
+            raise ValueError(
+                f"gapfill_dense: series {key_repr} has timestamps off the "
+                f"{step_us}µs grid (first at index {int(np.flatnonzero(off)[0])}); "
+                "use fill_gaps for unaligned input"
+            )
         n_dense = int((ts[-1] - ts[0]) // step_us) + 1
         grid = ts[0] + step_us * np.arange(n_dense)
-        pos = (ts - ts[0]) // step_us  # observed rows' slots (grid-aligned input)
+        pos = (ts - ts[0]) // step_us  # observed rows' slots (validated above)
+        if pos.size > 1 and (np.diff(pos) <= 0).any():
+            key_repr = tuple(g[k].iloc[0] for k in keys_l)
+            raise ValueError(
+                f"gapfill_dense: series {key_repr} has duplicate timestamps"
+            )
         observed = np.zeros(n_dense, dtype=bool)
         observed[pos] = True
         for k in keys_l:

@@ -117,3 +117,37 @@ def accuracy_metrics(
         ).otherwise(F.col("mae") / F.col("__naive_mae")),
     )
     return out.drop(*[c for c in out.columns if c.startswith("__")])
+
+
+def winkler_score(
+    actual: np.ndarray,
+    lower: np.ndarray,
+    upper: np.ndarray,
+    alpha: float,
+) -> float:
+    """Mean Winkler interval score (ref tests/interval_calibration.rs:35-60).
+
+    W = (hi−lo) + (2/α)·(lo−y) if y < lo, + (2/α)·(y−hi) if y > hi.
+    Lower is better: penalizes width plus scaled miscoverage distance.
+    α is the nominal miss rate (1 − level). Returns +inf on empty input,
+    matching the reference.
+    """
+    a = np.asarray(actual, float)
+    lo = np.asarray(lower, float)
+    hi = np.asarray(upper, float)
+    if a.size == 0:
+        return float("inf")
+    w = (hi - lo) \
+        + (2.0 / alpha) * np.maximum(lo - a, 0.0) \
+        + (2.0 / alpha) * np.maximum(a - hi, 0.0)
+    return float(w.mean())
+
+
+def winkler_score_col(y, lo, hi, alpha: float):
+    """Column-expression Winkler score term for Spark aggregation:
+    ``df.agg(F.avg(winkler_score_col(...)))`` gives the per-group mean
+    score JVM-side (no UDF)."""
+    width = hi - lo
+    below = F.when(y < lo, (2.0 / alpha) * (lo - y)).otherwise(0.0)
+    above = F.when(y > hi, (2.0 / alpha) * (y - hi)).otherwise(0.0)
+    return width + below + above

@@ -20,8 +20,12 @@ Semantics from ref src/models/arima/ (fresh numpy implementation):
 - AutoARIMA (auto_arima.rs): d from the variance-ratio
   suggest_differencing (diff.rs:102-130) ± 1 neighbor; grid-stepwise
   candidate set {(0,0),(1,0),(0,1),(1,1),(2,0),(0,2),(2,1),(1,2),(2,2)}
-  (+ seasonal (P,Q) ∈ {(0,1),(1,0),(1,1),(2,0),(0,2)} when s>1); min-AIC
-  selection; needs n ≥ 10 (3s seasonal).
+  (+ 13 seasonal cores × (P,Q) grid capped by max_P/max_Q when s>1);
+  min-AIC selection; needs n ≥ 10 (3s seasonal). The ref's validation
+  export caps seasonal orders at (1,1,1)
+  (examples/validation/forecast_export.rs:311-313) — with those caps our
+  search reproduces the ref's per-series selections bit-exactly on 9/11
+  corpus series (tests/test_statsforecast_parity.py).
 """
 
 from __future__ import annotations
@@ -387,7 +391,7 @@ _NONSEASONAL_WITH_SEASONAL_GRID = [
 ]
 
 
-def _hill_climb(y, h, level, s, d, D, max_p, max_q):
+def _hill_climb(y, h, level, s, d, D, max_p, max_q, max_P=2, max_Q=2):
     """True-stepwise neighbor search (ref auto_arima.rs:451-560): start from
     (1,d,1)(1,D,1), (0,d,0) and (2,d,2); move to the best ±1 neighbor in
     (p, q, P, Q) until no AIC improvement. 60-70% fewer fits than the grid."""
@@ -421,7 +425,7 @@ def _hill_climb(y, h, level, s, d, D, max_p, max_q):
             nP, nQ = P + dP, Q + dQ
             if not (0 <= np_ <= max_p and 0 <= nq <= max_q):
                 continue
-            if not (0 <= nP <= 2 and 0 <= nQ <= 2):
+            if not (0 <= nP <= max_P and 0 <= nQ <= max_Q):
                 continue
             if s <= 1 and (nP or nQ):
                 continue
@@ -444,6 +448,24 @@ _AUTO_ARIMA_CACHE: dict[tuple, KernelResult] = {}
 _AUTO_ARIMA_CACHE_MAX = 128
 
 
+def _cache_put(key: tuple, value: KernelResult) -> None:
+    """LRU insert: evict the least-recently-used entry at capacity (plain
+    dict preserves insertion order; hits re-insert via _cache_get)."""
+    if key in _AUTO_ARIMA_CACHE:
+        del _AUTO_ARIMA_CACHE[key]
+    elif len(_AUTO_ARIMA_CACHE) >= _AUTO_ARIMA_CACHE_MAX:
+        _AUTO_ARIMA_CACHE.pop(next(iter(_AUTO_ARIMA_CACHE)))
+    _AUTO_ARIMA_CACHE[key] = value
+
+
+def _cache_get(key: tuple) -> KernelResult | None:
+    hit = _AUTO_ARIMA_CACHE.get(key)
+    if hit is not None:  # move-to-end so hot series survive eviction
+        del _AUTO_ARIMA_CACHE[key]
+        _AUTO_ARIMA_CACHE[key] = hit
+    return hit
+
+
 def auto_arima(
     y: np.ndarray,
     h: int,
@@ -452,10 +474,19 @@ def auto_arima(
     max_p: int = 5,
     max_q: int = 5,
     max_d: int = 2,
+    max_P: int = 2,
+    max_Q: int = 2,
     seasonal: bool | None = None,
     true_stepwise: bool = False,
 ) -> KernelResult:
     """Grid-stepwise AutoARIMA, min-AIC (ref auto_arima.rs:608-700).
+
+    ``max_P``/``max_Q`` cap the seasonal orders (ref AutoARIMAConfig
+    max_cap_p/max_cap_q, default 2). NOTE: the reference's own validation
+    export runs ``.with_seasonal_orders(1, 1, 1)``
+    (examples/validation/forecast_export.rs:311-313) — reproducing its
+    published MAD therefore requires max_P=1, max_Q=1, which prunes every
+    (·)(2,·,·)/(·)(·,·,2) candidate from the grid.
 
     Results are memoized per (series bytes, args) — the search fits ~10²
     candidates, and the same series is commonly refit (cross-validation
@@ -466,9 +497,9 @@ def auto_arima(
     import copy as _copy
 
     y = np.ascontiguousarray(y, dtype=np.float64)
-    cache_key = (y.tobytes(), h, level, m, max_p, max_q, max_d, seasonal,
-                 true_stepwise)
-    hit = _AUTO_ARIMA_CACHE.get(cache_key)
+    cache_key = (y.tobytes(), h, level, m, max_p, max_q, max_d, max_P, max_Q,
+                 seasonal, true_stepwise)
+    hit = _cache_get(cache_key)
     if hit is not None:
         return _copy.deepcopy(hit)
     n = y.size
@@ -490,7 +521,8 @@ def auto_arima(
         best, best_aic, n_evals = None, np.inf, 0
         for d in d_range:
             for D in cap_d_range:
-                r, aic, ev = _hill_climb(y, h, level, s, d, D, max_p, max_q)
+                r, aic, ev = _hill_climb(y, h, level, s, d, D, max_p, max_q,
+                                         max_P, max_Q)
                 n_evals += ev
                 if r is not None and aic < best_aic:
                     best, best_aic = r, aic
@@ -498,8 +530,7 @@ def auto_arima(
             raise InsufficientData("no ARIMA candidate fit")
         best.params["n_evals"] = n_evals
         best.params["search"] = "true_stepwise"
-        if len(_AUTO_ARIMA_CACHE) < _AUTO_ARIMA_CACHE_MAX:
-            _AUTO_ARIMA_CACHE[cache_key] = _copy.deepcopy(best)
+        _cache_put(cache_key, _copy.deepcopy(best))
         return best
 
     # candidate set per (d, D) — ref stepwise_candidates (auto_arima.rs:216-302)
@@ -514,6 +545,8 @@ def auto_arima(
                     if p > max_p or q > max_q:
                         continue
                     for (P, Q) in _SEASONAL_PQ_GRID:
+                        if P > max_P or Q > max_Q:
+                            continue
                         candidates.append((p, d, q, P, D, Q))
     candidates = sorted(set(candidates))
 
@@ -535,6 +568,5 @@ def auto_arima(
     if best is None:
         raise InsufficientData("no ARIMA candidate fit")
     best.params["scores_top"] = dict(sorted(scores.items(), key=lambda kv: kv[1])[:5])
-    if len(_AUTO_ARIMA_CACHE) < _AUTO_ARIMA_CACHE_MAX:
-        _AUTO_ARIMA_CACHE[cache_key] = _copy.deepcopy(best)
+    _cache_put(cache_key, _copy.deepcopy(best))
     return best

@@ -1027,6 +1027,55 @@ def q_forecast_ets_theta_1d(spark, sf_dir):
                       F.round("yhat", 6).alias("yhat"))
 
 
+def q_gapfill_dense_1h(spark, sf_dir):
+    """The FUSED gap-fill path (core/gapfill.py:gapfill_dense) under the
+    driver's correctness contract (VERDICT r2 next-round #5): one
+    repartition→sort→mapInPandas doing spine+LOCF in numpy. Oracle = the
+    same SQL as gapfill_locf_1h — the fused path is checksum-equal to the
+    unfused window chain by construction."""
+    from anofox_forecast_spark.core.gapfill import gapfill_dense
+
+    rolled = _hourly_counts(spark, sf_dir)
+    out = gapfill_dense(rolled, ["event_type"], "bucket_start",
+                        ["n_events"], "1h", method="locf")
+    return out.select(
+        "event_type", "bucket_start",
+        F.col("n_events").cast("bigint").alias("n_events"),  # counts are exact
+        "filled",
+    )
+
+
+def q_compress_roundtrip_7d(spark, sf_dir):
+    """Gorilla XOR + delta-of-delta round-trip as a driver query (VERDICT
+    r2 next-round #5): compress the hourly count series into per-7d-chunk
+    blobs (packed encoders, µs timestamps, GORv header) and decode them
+    back. Lossless ⇒ the oracle is the plain rollup itself."""
+    from anofox_forecast_spark.compression.gorilla import (
+        compress_chunks,
+        decompress_chunks,
+    )
+
+    series = _hourly_counts(spark, sf_dir).withColumn(
+        "value", F.col("n_events").cast("double")
+    ).drop("n_events")
+    chunks = compress_chunks(series, ["event_type"], "bucket_start", "value",
+                             chunk_freq="7d")
+    out = decompress_chunks(chunks, ["event_type"])
+    return out.select("event_type", F.col("ts").alias("bucket_start"),
+                      F.round("value", 6).alias("value"))
+
+
+def sql_compress_roundtrip_7d():
+    return (
+        _DUCK_HOURLY
+        + """
+        SELECT event_type, bucket_start,
+               round(CAST(n_events AS DOUBLE), 6) AS value
+        FROM rolled
+        """
+    )
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tier_rollup_1h": q_tier_rollup_1h,
@@ -1059,6 +1108,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_wide_1d": q_features_wide_1d,
         "ewm_1d": q_ewm_1d,
         "forecast_ets_theta_1d": q_forecast_ets_theta_1d,
+        "gapfill_dense_1h": q_gapfill_dense_1h,
+        "compress_roundtrip_7d": q_compress_roundtrip_7d,
     }
 
 
@@ -1089,6 +1140,8 @@ def build_oracle_sql() -> dict[str, str]:
         "forecast_tsb_1d": sql_forecast_tsb_1d(),
         "ewm_1d": sql_ewm_1d(),
         "cross_validation_1d": sql_cross_validation_1d(),
+        "gapfill_dense_1h": sql_gapfill_locf_1h(),  # fused == unfused chain
+        "compress_roundtrip_7d": sql_compress_roundtrip_7d(),
         # stl/pelt/bootstrap/features/ets-theta: per-series kernels,
         # not ANSI-SQL-expressible → rows-only driver check by design
     }

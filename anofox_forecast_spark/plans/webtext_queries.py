@@ -179,6 +179,56 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def sql_dedup_ngram_jaccard():
+    """DuckDB twin of ngram_jaccard_pairs (VERDICT r2 next-round #4): the
+    exact-intersection fix removed cross-engine hashes from the metric
+    path, so the whole operator — shingling, df-capped candidate join,
+    exact Jaccard over full shingle sets — is plain SQL over raw strings.
+    Mirrors webtext/dedup.py:34-102 clause for clause (same word regex,
+    same slice/sequence shingling, df <= 100 candidate cap, 6dp round)."""
+    return r"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                       ' +') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i + 1, i + 3), ' ') AS sh
+            FROM words,
+                 UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)
+        ),
+        sh_ne AS (SELECT doc_id, sh FROM sh WHERE sh <> ''),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh_ne GROUP BY 1),
+        freq AS (SELECT sh, count(*) AS df FROM sh_ne GROUP BY 1),
+        rare AS (
+            SELECT s.doc_id, s.sh
+            FROM sh_ne s JOIN freq f USING (sh)
+            WHERE f.df <= 100
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM rare a JOIN rare b USING (sh)
+            WHERE a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+            FROM cand c
+            JOIN sh_ne sa ON sa.doc_id = c.id_a
+            JOIN sh_ne sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
+    """
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -206,5 +256,7 @@ def build_oracle_sql():
         "text_quality": sql_text_quality(),
         "text_lang_id": sql_lang_id(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
-        # hash-based ops intentionally omitted → rows-only driver check
+        "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+        # hash-based ops (minhash/simhash/lsh) intentionally omitted →
+        # rows-only driver check (cross-engine hash functions differ)
     }

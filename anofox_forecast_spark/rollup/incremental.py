@@ -25,15 +25,20 @@ log — semantics identical):
 - Resume / idempotence: two layers.
   (1) a batch id log (parquet) records fully-applied batches; re-ingesting
       a logged batch is a no-op (log written last, checked first).
-  (2) every tier row carries a ``__last_batch`` fingerprint stamped at
-      write time. When a crash lands between the tier write and the log
-      append, the replay consults the fingerprints of the affected
-      partitions and merges ONLY into partitions not already stamped with
-      this batch_id — so a replayed batch never double-counts, even when
+  (2) every tier row carries an ``__applied_log`` fingerprint — the last
+      ``APPLIED_LOG_DEPTH`` (16) batch ids merged into its partition,
+      stamped at write time. When a crash lands between the tier write and
+      the log append, the replay consults the affected partitions' logs
+      and merges ONLY into partitions whose log does not already contain
+      this batch_id — so a replayed batch does not double-count even when
       the (non-atomic) dynamic partition overwrite completed for some
-      partitions and not others. Atomicity *within* one partition rewrite
-      still relies on the file-output commit; a true all-or-nothing commit
-      is what the Iceberg MERGE backend would add.
+      partitions and not others, and even when up to 15 OTHER batches
+      merged into the partition between the crash and the replay (the r2
+      single-stamp variant lost the guard in that interleaving). Beyond
+      depth−1 intervening writers the guard degrades to the batch log (1);
+      Atomicity *within* one partition rewrite still relies on the
+      file-output commit; a true all-or-nothing commit is what the
+      Iceberg MERGE backend would add.
 - Retention: drop partitions with bucket_date < cutoff (partition-level
   delete; no data rewrite).
 
@@ -137,8 +142,17 @@ class IncrementalRollup:
             .withColumn("bucket_date", F.to_date("bucket_start"))
         )
 
+    #: replay-guard depth: a partition remembers the last N batch ids that
+    #: merged into it, so a crashed batch's replay is still recognized even
+    #: if up to N−1 OTHER batches touched the partition in between (the r2
+    #: single-stamp guard double-counted in that interleaving; ADVICE r2).
+    APPLIED_LOG_DEPTH = 16
+
     def read(self) -> DataFrame:
-        df = self.spark.read.parquet(self.path).drop("__last_batch")
+        df = self.spark.read.parquet(self.path)
+        for aux in ("__last_batch", "__applied_log"):
+            if aux in df.columns:
+                df = df.drop(aux)
         return df.withColumn(
             "text_bytes_avg", F.col("text_bytes") / F.col("crawl_count")
         )
@@ -160,13 +174,23 @@ class IncrementalRollup:
             scoped = self.spark.read.parquet(self.path).filter(
                 F.expr(f"bucket_date IN ({dates})")
             )
-            # crash-replay guard: partitions already stamped with this
-            # batch_id absorbed it before the crash — merge only the rest
+            # crash-replay guard: partitions whose applied-batch log already
+            # contains this batch_id absorbed it before the crash — merge
+            # only the rest. The log keeps the last APPLIED_LOG_DEPTH ids,
+            # so the guard survives other batches landing between the crash
+            # and the replay (up to depth−1 interleaved writers).
+            if "__applied_log" in scoped.columns:
+                stamped = scoped.filter(
+                    F.array_contains(F.col("__applied_log"), batch_id)
+                )
+            elif "__last_batch" in scoped.columns:  # pre-r3 tables
+                stamped = scoped.filter(F.col("__last_batch") == batch_id)
+            else:
+                stamped = scoped.limit(0)
             done_dates = {
                 r.bucket_date
-                for r in scoped.filter(F.col("__last_batch") == batch_id)
-                .select("bucket_date").distinct().collect()
-            } if "__last_batch" in scoped.columns else set()
+                for r in stamped.select("bucket_date").distinct().collect()
+            }
             merge_dates = [d for d in affected if d not in done_dates]
             if not merge_dates:
                 partials.unpersist()
@@ -190,8 +214,35 @@ class IncrementalRollup:
             )
         else:
             merged = partials
+        # per-partition applied-batch log: old log (any row of the partition
+        # — whole partitions are written atomically, so rows agree) with
+        # this batch prepended, truncated to depth. Bounded control-plane
+        # read: one row per affected date.
+        old_logs: dict = {}
+        if os.path.exists(self.path) and affected:
+            existing_all = self.spark.read.parquet(self.path)
+            if "__applied_log" in existing_all.columns:
+                dates = ",".join(f"'{d}'" for d in affected)
+                for r in (
+                    existing_all.filter(F.expr(f"bucket_date IN ({dates})"))
+                    .groupBy("bucket_date")
+                    .agg(F.first("__applied_log").alias("log"))
+                    .collect()
+                ):
+                    old_logs[r.bucket_date] = list(r.log or [])
+        new_logs = [
+            (d, ([batch_id] + old_logs.get(d, []))[: self.APPLIED_LOG_DEPTH])
+            for d in affected
+        ]
+        log_df = self.spark.createDataFrame(
+            new_logs, "bucket_date date, __applied_log array<string>"
+        )
         (
-            merged.withColumn("__last_batch", F.lit(batch_id))
+            merged.join(F.broadcast(log_df), "bucket_date", "left")
+            .withColumn(
+                "__applied_log",
+                F.coalesce(F.col("__applied_log"), F.array(F.lit(batch_id))),
+            )
             .repartition("bucket_date")
             .write.mode("overwrite")
             .partitionBy("bucket_date")

@@ -128,3 +128,28 @@ def test_crash_replay_does_not_double_count(spark, tmp_path):
     assert not r["skipped"] and r.get("replay_completed")
     total = inc.read().agg(F.sum("crawl_count")).collect()[0][0]
     assert total == pages.count()
+
+
+def test_crash_replay_survives_interleaved_batch(spark, tmp_path):
+    """ADVICE r2: a batch that lands on a partition BETWEEN a crash and the
+    crashed batch's replay must not erase the replay guard. The
+    __applied_log keeps the last 16 batch ids per partition, so the replay
+    still recognizes its own stamp after the interleaved merge."""
+    import shutil
+
+    pages = synthesize_pages(spark, n_pages=3000, n_hosts=5, weeks=1).cache()
+    b1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+    b2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 1)
+    b3 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 2)
+    inc = IncrementalRollup(spark, str(tmp_path / "agg"), "1d")
+    inc.ingest(b1, "b1")
+    inc.ingest(b2, "b2")  # tier write lands ...
+    # ... but b2's batch-log append is lost in a crash
+    shutil.rmtree(inc.batches_path)
+    inc._log_batch("b1", 0)
+    # ANOTHER batch merges into the same partitions before the replay
+    inc.ingest(b3, "b3")
+    r = inc.ingest(b2, "b2")  # replay of the crashed batch
+    assert not r["skipped"] and r.get("replay_completed")
+    total = inc.read().agg(F.sum("crawl_count")).collect()[0][0]
+    assert total == pages.count()

@@ -59,7 +59,8 @@ CEILINGS = {
     "ARIMA_1_1_1": 1.43,  # ref 1.1438; ours == ref
     "DynamicOptimizedTheta": 1.44,  # ref 1.1494; ours == ref
     "HoltWinters": 1.75,  # ref 1.3949; ours == ref
-    "AutoARIMA": 2.10,  # ref 1.6782
+    "AutoARIMA": 1.70,  # ref 1.6782; ours 1.6849 (r3: seasonal caps (1,1,1)
+    #   per the ref's own export config, forecast_export.rs:311-313)
     "AutoTBATS": 2.36,  # ref 1.8830; ours 1.83 (better than ref)
     "TBATS": 2.43,  # ref 1.9439; ours 1.79 (better than ref)
 }
@@ -67,7 +68,10 @@ CEILINGS = {
 # per-series max-MAD backstop: catches one pathological series hiding
 # inside a passing mean (AutoARIMA r1 failure mode: mean 2.04, max 11.6).
 MAX_MAD = {
-    "AutoARIMA": 6.0,
+    # 6.5697 on structural_break is the REFERENCE'S OWN MAD vs statsforecast
+    # there (we reproduce its selection and forecast bit-exactly; see
+    # test_auto_arima_matches_rust_selection) — not a pathological pick.
+    "AutoARIMA": 6.6,
     "AutoTBATS": 6.0,
     "TBATS": 4.0,
     "GARCH": 4.5,
@@ -110,3 +114,35 @@ def test_parity(sf_name, oracle, corpus):
         assert mads[worst] <= cap, (
             f"{sf_name}: worst series {worst} MAD {mads[worst]:.4f} > {cap}"
         )
+
+
+def test_auto_arima_matches_rust_selection(corpus):
+    """Selection parity vs the RUST reference itself (not statsforecast):
+    validation/results/rust/point_forecasts.csv carries the ref's own
+    per-series AutoARIMA forecasts. With the export's seasonal caps
+    (forecast_export.rs:311-313 .with_seasonal_orders(1,1,1)) our search
+    must reproduce the ref's picks — bit-exact forecasts on >= 8/11 series,
+    per-series MAD vs rust <= 0.08 everywhere (the residual three series
+    select the SAME order; the drift is Nelder-Mead last-digit).
+    """
+    import csv
+    from collections import defaultdict
+
+    from anofox_forecast_spark.models.arima import auto_arima
+
+    rust = defaultdict(dict)
+    path = "/root/reference/validation/results/rust/point_forecasts.csv"
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            if row["model"] == "AutoARIMA":
+                rust[row["series_type"]][int(row["step"])] = float(row["forecast"])
+    assert rust, "rust oracle CSV missing"
+    dists = {}
+    for name, steps in rust.items():
+        ref = np.array([steps[i] for i in sorted(steps)])
+        res = auto_arima(corpus[name], H, m=12, max_P=1, max_Q=1)
+        dists[name] = float(np.mean(np.abs(res.yhat - ref)))
+    exact = sum(1 for v in dists.values() if v < 1e-9)
+    assert exact >= 8, f"only {exact}/11 bit-exact: {dists}"
+    assert max(dists.values()) <= 0.08, dists
+    assert float(np.mean(list(dists.values()))) <= 0.02, dists

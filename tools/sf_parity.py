@@ -42,7 +42,9 @@ CONFIGS: dict[str, tuple[str, dict]] = {
         "arima",
         {"order": (1, 1, 1), "seasonal_order": (1, 1, 1), "m": M},
     ),
-    "AutoARIMA": ("auto_arima", {"m": M}),
+    # the ref's export runs .with_seasonal_orders(1, 1, 1)
+    # (examples/validation/forecast_export.rs:311-313): seasonal P,Q <= 1
+    "AutoARIMA": ("auto_arima", {"m": M, "max_P": 1, "max_Q": 1}),
     "AutoETS": ("auto_ets", {"m": M}),
     "Theta": ("theta", {"m": M}),
     "OptimizedTheta": ("optimized_theta", {"m": M}),
