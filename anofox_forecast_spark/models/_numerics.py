@@ -56,6 +56,14 @@ def _clip(x: np.ndarray, bounds: Sequence[tuple[float, float]] | None) -> np.nda
     return out
 
 
+def _euclid(a: np.ndarray, b: np.ndarray) -> float:
+    s = 0.0
+    for x, y in zip(a.tolist(), b.tolist()):
+        d = x - y
+        s += d * d
+    return s ** 0.5
+
+
 def nelder_mead(
     objective: Callable[[np.ndarray], float],
     initial: Sequence[float],
@@ -97,7 +105,12 @@ def nelder_mead(
         centroid = (
             sum(simplex[i] for i in range(n + 1) if i != worst) / n
         )
-        if max(np.linalg.norm(v - centroid) for v in simplex) < tolerance:
+        # collapse check: sequential Σ(x−y)² then sqrt, matching the ref's
+        # euclidean_distance (optimization.rs:298-304) bit-for-bit —
+        # np.linalg.norm (BLAS dnrm2, scaled accumulation) differs in the
+        # last ulps, which can break the loop one iteration early/late and
+        # land optimizer-tier fits in measurably different optima.
+        if max(_euclid(v, centroid) for v in simplex) < tolerance:
             break
 
         reflected = _clip(centroid + alpha * (centroid - simplex[worst]), bounds)

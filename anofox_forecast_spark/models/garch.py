@@ -22,10 +22,25 @@ from anofox_forecast_spark.models.kernels import InsufficientData, KernelResult
 _LN_2PI = float(np.log(2.0 * np.pi))
 
 
+def _seq_var(x: np.ndarray) -> float:
+    """Population variance with SEQUENTIAL accumulation (ref garch.rs:183-185
+    sums scalar-by-scalar; numpy's pairwise x.var() differs in the last ulps
+    on trending series, which is enough to branch the NM path)."""
+    mean = 0.0
+    for v in x.tolist():
+        mean += v
+    mean /= x.size
+    s = 0.0
+    for v in x.tolist():
+        d = v - mean
+        s += d * d
+    return s / x.size
+
+
 def _sigma2_series(x: np.ndarray, omega: float, alpha, beta, p: int, q: int) -> np.ndarray:
     n = x.size
     out = np.full(n, np.nan)
-    out[0] = x.var()
+    out[0] = _seq_var(x)
     a_f = alpha[::-1]
     b_f = beta[::-1]
     for k in range(max(p, q), n):

@@ -942,31 +942,29 @@ def q_ewm_1d(spark, sf_dir):
 
     series = _daily_series(spark, sf_dir)
     out = ewm_mean(series, ["event_type"], "bucket_start", "y", alpha=0.3)
-    # 4dp: the oracle computes the algebraically-equal weighted-sum unroll,
-    # whose float accumulation order differs from the recursion in the last
-    # ulps — 6dp rounding straddles a boundary on ~1/150 rows
-    return out.select("event_type", "bucket_start", F.round("y_ewm", 4).alias("y_ewm"))
+    return out.select("event_type", "bucket_start", F.round("y_ewm", 6).alias("y_ewm"))
 
 
 def sql_ewm_1d():
-    """EWM recursion e_i = αy_i + (1−α)e_{i−1}, e_1 = y_1 unrolls to the
-    weighted sum e_i = Σ_{t=2..i} α(1−α)^{i−t} y_t + (1−α)^{i−1} y_1 —
-    same trick as the SES oracle, per ROW instead of only the final level
-    (O(n²) self-join, fine at oracle scale)."""
+    """EWM recursion e_i = αy_i + (1−α)e_{i−1}, e_1 = y_1 as a per-row
+    list_reduce fold: (acc, x) -> 0.3*x + 0.7*acc over the sorted prefix —
+    the SAME float ops in the SAME order as ewm_mean_np, so the two
+    engines agree bit-for-bit (the previous weighted-sum unroll was only
+    algebraically equal; at sf0.01 one row's true value lands exactly on
+    a 4dp half-boundary, 64.48715, and the two accumulation orders round
+    opposite ways). O(n²) prefix refolds, fine at oracle scale."""
     return (
         _DUCK_DAILY
         + """
-        , indexed AS (
-            SELECT event_type, bucket_start, y,
-                   row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn
-            FROM series
+        , arr AS (
+            SELECT event_type,
+                   list(y ORDER BY bucket_start) AS ys,
+                   list(bucket_start ORDER BY bucket_start) AS ts
+            FROM series GROUP BY 1
         )
-        SELECT a.event_type, a.bucket_start,
-               round(sum(CASE WHEN b.rn = 1 THEN b.y * power(0.7, a.rn - 1)
-                              ELSE 0.3 * b.y * power(0.7, a.rn - b.rn) END), 4) AS y_ewm
-        FROM indexed a
-        JOIN indexed b ON a.event_type = b.event_type AND b.rn <= a.rn
-        GROUP BY a.event_type, a.bucket_start
+        SELECT event_type, ts[i] AS bucket_start,
+               round(list_reduce(ys[1:i], (acc, x) -> 0.3*x + 0.7*acc), 6) AS y_ewm
+        FROM arr, UNNEST(range(1, len(ys) + 1)) AS t(i)
         """
     )
 
@@ -1025,6 +1023,81 @@ def q_forecast_ets_theta_1d(spark, sf_dir):
                    horizon=7, freq="1d", season_length=7)
     return out.select("event_type", "model", "step", "ds",
                       F.round("yhat", 6).alias("yhat"))
+
+
+def q_features_stat_1d(spark, sf_dir):
+    """SQL-expressible slice of the feature registry under a FULL DuckDB
+    oracle (VERDICT r2 "what's missing" #5): mean/abs_energy/OLS slope/
+    autocorrelation(1)/cid_ce/number_peaks all have exact closed forms, so
+    unlike features_wide_1d (rows-only: entropies, ADF) every value is
+    cross-engine verified."""
+    from anofox_forecast_spark.features import extract_features
+
+    series = _daily_series(spark, sf_dir)
+    out = extract_features(series, ["event_type"], "bucket_start", "y", features=[
+        "mean", "abs_energy", "linear_trend_slope", "autocorrelation_1",
+        "cid_ce", "number_peaks",
+    ])
+    cols = [c for c in out.columns if c != "event_type"]
+    return out.select("event_type", *[F.round(c, 5).alias(c) for c in cols])
+
+
+def sql_features_stat_1d():
+    """Exact twins of features/np_features.py formulas: autocorrelation
+    tsfresh norm Σ(y_t−m)(y_{t+1}−m)/((n−1)·var_pop); cid_ce normalized
+    sqrt(Σdz²) = sqrt(Σdy²)/sd_pop; number_peaks support=3 (boundary
+    windows excluded via NULL lag/lead comparisons)."""
+    return (
+        _DUCK_DAILY
+        + """
+        , indexed AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) - 1 AS x
+            FROM series
+        ), lagd AS (
+            SELECT event_type, y, x,
+                   lag(y)  OVER w AS l1,  lag(y, 2)  OVER w AS l2,
+                   lag(y, 3) OVER w AS l3,
+                   lead(y) OVER w AS r1, lead(y, 2) OVER w AS r2,
+                   lead(y, 3) OVER w AS r3
+            FROM indexed
+            WINDOW w AS (PARTITION BY event_type ORDER BY x)
+        ), stats AS (
+            SELECT event_type, count(*) AS n, avg(y) AS m,
+                   sum(y * y) AS abs_energy,
+                   regr_slope(y, x) AS slope,
+                   var_pop(y) AS vp,
+                   stddev_pop(y) AS sd
+            FROM indexed GROUP BY 1
+        ), ac AS (
+            SELECT l.event_type,
+                   sum((l.y - s.m) * (l.l1 - s.m)) AS ac_num,
+                   sum((l.y - l.l1) * (l.y - l.l1)) AS dsq
+            FROM lagd l JOIN stats s USING (event_type)
+            WHERE l.l1 IS NOT NULL
+            GROUP BY 1
+        ), peaks AS (
+            SELECT event_type, CAST(count(*) AS DOUBLE) AS n_peaks
+            FROM lagd
+            WHERE y > l1 AND y > l2 AND y > l3
+              AND y > r1 AND y > r2 AND y > r3
+            GROUP BY 1
+        )
+        SELECT s.event_type,
+               round(s.m, 5) AS mean,
+               round(s.abs_energy, 5) AS abs_energy,
+               round(s.slope, 5) AS linear_trend_slope,
+               round(CASE WHEN s.vp < 1e-10 THEN 0.0
+                          ELSE ac.ac_num / ((s.n - 1) * s.vp) END, 5)
+                   AS autocorrelation_1,
+               round(CASE WHEN s.sd < 1e-10 THEN 0.0
+                          ELSE sqrt(ac.dsq) / s.sd END, 5) AS cid_ce,
+               round(coalesce(p.n_peaks, 0.0), 5) AS number_peaks
+        FROM stats s
+        JOIN ac USING (event_type)
+        LEFT JOIN peaks p USING (event_type)
+        """
+    )
 
 
 def q_gapfill_dense_1h(spark, sf_dir):
@@ -1110,6 +1183,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ets_theta_1d": q_forecast_ets_theta_1d,
         "gapfill_dense_1h": q_gapfill_dense_1h,
         "compress_roundtrip_7d": q_compress_roundtrip_7d,
+        "features_stat_1d": q_features_stat_1d,
     }
 
 
@@ -1142,6 +1216,7 @@ def build_oracle_sql() -> dict[str, str]:
         "cross_validation_1d": sql_cross_validation_1d(),
         "gapfill_dense_1h": sql_gapfill_locf_1h(),  # fused == unfused chain
         "compress_roundtrip_7d": sql_compress_roundtrip_7d(),
+        "features_stat_1d": sql_features_stat_1d(),
         # stl/pelt/bootstrap/features/ets-theta: per-series kernels,
         # not ANSI-SQL-expressible → rows-only driver check by design
     }

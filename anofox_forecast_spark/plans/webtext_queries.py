@@ -12,12 +12,17 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from anofox_forecast_spark.webtext.dedup import (
+    embedding_near_dups,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
-from anofox_forecast_spark.webtext.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from anofox_forecast_spark.webtext.similarity import (
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from anofox_forecast_spark.webtext.text_stats import (
     STOPWORDS,
     language_id,
@@ -235,6 +240,34 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, k=5)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (fifth dedup modality). The EXACT
+    variant ships under the oracle (list_cosine_similarity twin); the LSH
+    scale path is recall-gated in tests/test_webtext.py."""
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.35, method="exact")
+
+
+def sql_dedup_embedding():
+    return """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (rows-only: the spherical-k-means quantizer has no
+    DuckDB twin; recall vs brute force gated in tests/test_webtext.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=8)
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -246,6 +279,8 @@ def build_queries():
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -257,6 +292,8 @@ def build_oracle_sql():
         "text_lang_id": sql_lang_id(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
-        # hash-based ops (minhash/simhash/lsh) intentionally omitted →
-        # rows-only driver check (cross-engine hash functions differ)
+        "dedup_embedding": sql_dedup_embedding(),
+        # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →
+        # rows-only driver check (cross-engine hash functions / k-means
+        # quantizer differ)
     }

@@ -333,3 +333,68 @@ def simhash_near_dups(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for every
+    unordered pair with cosine ≥ threshold (driver prompt's fifth dedup
+    modality; no reference counterpart).
+
+    method='exact' — all-pairs self-join: the CORRECTNESS BASELINE, O(n²),
+    fully DuckDB-oracle-able (list_cosine_similarity). Labeled as such;
+    never the scale path.
+    method='lsh' — the 100-TB path: candidates from random-hyperplane
+    bucket collisions (same deterministic-planes machinery as
+    similarity.hyperplane_buckets, corpus indexed once per table), exact
+    cosine recomputed on candidates only, so the join is bounded by bucket
+    population ≈ n/2^n_planes per table instead of n² — recall is measured
+    in tests (test_webtext), not asserted.
+    """
+    from anofox_forecast_spark.webtext.similarity import (
+        _dot,
+        _norm,
+        hyperplane_buckets,
+    )
+
+    if method == "exact":
+        a = emb.select(
+            F.col(id_col).alias("id_a"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("va"),
+        ).withColumn("na", _norm(F.col("va")))
+        b = emb.select(
+            F.col(id_col).alias("id_b"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vb"),
+        ).withColumn("nb", _norm(F.col("vb")))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        ab = hyperplane_buckets(emb, id_col, vec_col, "x", n_planes=n_planes,
+                                n_tables=n_tables, dim=dim, seed=seed)
+        bb = hyperplane_buckets(emb, id_col, vec_col, "y", n_planes=n_planes,
+                                n_tables=n_tables, dim=dim, seed=seed)
+        pairs = (
+            ab.join(bb, on="bucket")
+            .filter(F.col("x_id") < F.col("y_id"))
+            .dropDuplicates(["x_id", "y_id"])
+            .select(F.col("x_id").alias("id_a"), F.col("x_v").alias("va"),
+                    F.col("x_n").alias("na"), F.col("y_id").alias("id_b"),
+                    F.col("y_v").alias("vb"), F.col("y_n").alias("nb"))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (exact|lsh)")
+
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -6,6 +6,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from anofox_forecast_spark.webtext.dedup import (
+    embedding_near_dups,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -13,7 +14,11 @@ from anofox_forecast_spark.webtext.dedup import (
     simhash_signatures,
 )
 from anofox_forecast_spark.webtext.multimodal import extract_media_features, synthesize_media
-from anofox_forecast_spark.webtext.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from anofox_forecast_spark.webtext.similarity import (
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from anofox_forecast_spark.webtext.text_stats import language_id, quality_scores, token_counts
 
 DOCS = [
@@ -267,3 +272,68 @@ def test_simhash_bucket_freq_cap(spark):
     uncapped = simhash_near_dups(df, "doc_id", "text", max_hamming=8).toPandas()
     upairs = set(map(tuple, uncapped[["id_a", "id_b"]].to_numpy()))
     assert sum(1 for a, b in upairs if a < 30 and b < 30) == 30 * 29 // 2
+
+
+def _clustered_embeddings(spark, seed=5, n_centers=20, per_center=10, dim=64,
+                          spread=0.3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, dim))
+    rows, vid = [], 0
+    for c in range(n_centers):
+        for _ in range(per_center):
+            v = centers[c] + rng.normal(0, spread, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dups_exact(spark):
+    """Exact variant: a planted near-identical pair must surface with
+    cosine ~1; orthogonal noise stays below a high threshold."""
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(50)]
+    rows.append((50, [v * 1.001 + 1e-4 for v in rows[3][1]]))  # near-dup of 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dups(df, threshold=0.95, method="exact").toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert pairs == {(3, 50)}
+    assert out["cosine"].iloc[0] > 0.999
+
+
+def test_embedding_near_dups_lsh_recall(spark):
+    """LSH scale path vs the exact baseline on clustered embeddings:
+    measured recall >= 0.9, precision == 1.0 (exact cosine recheck means
+    no false positives by construction)."""
+    df = _clustered_embeddings(spark)
+    exact = embedding_near_dups(df, threshold=0.8, method="exact").toPandas()
+    truth = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    got_df = embedding_near_dups(df, threshold=0.8, method="lsh").toPandas()
+    got = set(map(tuple, got_df[["id_a", "id_b"]].to_numpy()))
+    assert truth, "clustered corpus must contain near-dup pairs"
+    assert got <= truth  # exact recheck → no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"embedding LSH recall {recall:.2f} below 0.9"
+
+
+def test_ivf_measured_recall(spark):
+    """IVF ANN recall@5 vs brute force on clustered embeddings."""
+    df = _clustered_embeddings(spark)
+    queries = df.limit(10)
+    bf = brute_force_cosine_topk(df, queries, k=5).toPandas()
+    truth = set(map(tuple, bf[["query_id", "neighbor_id"]].to_numpy()))
+    got = ivf_cosine_topk(df, queries, k=5, n_cells=16, n_probe=4).toPandas()
+    pairs = set(map(tuple, got[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.9, f"IVF recall@5 {recall:.2f} below 0.9"
+
+
+def test_ivf_deterministic(spark):
+    """Seeded quantizer + deterministic sample → identical output across
+    runs (required for the driver's stable-schema/rows smoke)."""
+    df = _clustered_embeddings(spark, seed=9)
+    queries = df.limit(5)
+    a = ivf_cosine_topk(df, queries, k=3).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = ivf_cosine_topk(df, queries, k=3).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
