@@ -139,6 +139,34 @@ def main() -> None:
         ["MapInPandas", "Exchange", "Sort"],
     ))
 
+    # 10. embedding near-dup LSH path: candidates from a bucket EQUI-join
+    # (SortMergeJoin/ShuffledHashJoin on `bucket`), never a cartesian
+    from anofox_forecast_spark.webtext.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nd = embedding_near_dups(emb, threshold=0.8, method="lsh")
+    plan10 = grab(nd)
+    sections.append((
+        "Embedding near-dup LSH (bucket equi-join bounds candidates; no cartesian)",
+        plan10,
+        ["Join", "bucket"],
+    ))
+    assert "CartesianProduct" not in plan10, "LSH dedup must not cross-join"
+
+    # 11. IVF ANN: Arrow-batched cell assignment (ArrowEvalPython), then a
+    # cell equi-join — candidate fan-out bounded by n_probe·n/n_cells
+    from anofox_forecast_spark.webtext.similarity import ivf_cosine_topk
+
+    ivf = ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                          n_cells=16, n_probe=4)
+    plan11 = grab(ivf)
+    sections.append((
+        "IVF ANN (ArrowEvalPython cell assignment + cell equi-join)",
+        plan11,
+        ["ArrowEvalPython", "Join", "cell"],
+    ))
+    assert "CartesianProduct" not in plan11, "IVF must not cross-join"
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
