@@ -407,7 +407,21 @@ def linear_trend(y, attribute="slope"):  # trend.rs:23
 
 
 def _normal_cdf(x):
-    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+    # A&S 7.1.26 rational erf approximation (|err| <= 1.5e-7), NOT
+    # math.erf: the reference's published pvalues use this approximation
+    # (trend.rs:508-524), and the exact erf differs at ~1e-6 — the one
+    # feature-parity config that wasn't <=1e-8 in round 2.
+    return 0.5 * (1.0 + _erf_as(x / math.sqrt(2.0)))
+
+
+def _erf_as(x):
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = -1.0 if x < 0.0 else 1.0
+    x = abs(x)
+    t = 1.0 / (1.0 + p * x)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * math.exp(-x * x)
+    return sign * y
 
 
 def agg_linear_trend(y, chunk_len=5, agg="mean", attribute="slope"):  # trend.rs:115

@@ -1,4 +1,5 @@
+from anofox_forecast_spark.streaming.dedup_stream import streaming_exact_dedup
 from anofox_forecast_spark.streaming.rollup_stream import streaming_rollup
 from anofox_forecast_spark.streaming.stateful import streaming_ses_level
 
-__all__ = ["streaming_rollup", "streaming_ses_level"]
+__all__ = ["streaming_exact_dedup", "streaming_rollup", "streaming_ses_level"]

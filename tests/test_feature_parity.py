@@ -3,8 +3,9 @@
 Runs every tsfresh-style feature in
 /root/reference/validation/results/rust/features.csv (110 distinct
 feature configs × 11 series) through our numpy kernels and enforces
-max |diff| ≤ 1e-8 (relative above magnitude 1), except linear_trend
-pvalue at 1e-6 (both sides use different-order erf approximations).
+max |diff| ≤ 1e-8 (relative above magnitude 1) on ALL 110 configs —
+linear_trend pvalue joined the exact tier in round 3 when _normal_cdf
+switched to the reference's own A&S 7.1.26 erf approximation.
 See tools/feature_parity.py for the name→kernel mapping.
 """
 
@@ -24,7 +25,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(FP.CSV_PATH), reason="no reference feature CSV"
 )
 
-LOOSE = {'value__linear_trend__attr_"pvalue"': 1e-6}
+LOOSE: dict[str, float] = {}
 
 
 def test_feature_parity():

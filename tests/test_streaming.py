@@ -73,3 +73,41 @@ def test_stateful_ses_level_matches_batch_kernel(spark, tmp_path):
     assert len(got) == 1
     batch_level = ses(y, 1, alpha=0.3).yhat[0]  # SES forecast == final level
     assert abs(got[0].level - batch_level) < 1e-9
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per content
+    hash across micro-batches; distinct content all passes through."""
+    import datetime as dt
+
+    from anofox_forecast_spark.streaming import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    texts = [f"unique document number {i}" for i in range(20)]
+    rows = [(i, t0 + dt.timedelta(minutes=i), texts[i]) for i in range(20)]
+    # duplicates of docs 0..9 arriving a few minutes later (same batch or next)
+    rows += [(100 + i, t0 + dt.timedelta(minutes=25 + i), texts[i]) for i in range(10)]
+    ddl = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "docs_stream")
+    # two files → availableNow may process as separate micro-batches; the
+    # hash state must carry across them
+    spark.createDataFrame(rows[:15], ddl).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[15:], ddl).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ddl).parquet(src)
+    deduped = streaming_exact_dedup(stream, watermark="2 hours")
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from dedup_stream").toPandas()
+    assert len(got) == 20  # one survivor per distinct text
+    assert sorted(got["text"].tolist()) == sorted(texts)
+    assert got["content_hash"].nunique() == 20
