@@ -103,3 +103,98 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (i % 7 + 1)
         rows.append((f"m{i}", kind, f"{kind}/fake", bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: deterministic RGB buffer of EXACTLY width*height*3 bytes from
+    the content hash — stands in for decode→resize; the output size
+    contract (w·h·3) is the real one a Pillow path must satisfy."""
+    need = width * height * 3
+    digest = hashlib.sha256(payload or b"").digest()
+    return bytes((digest * (need // len(digest) + 1))[:need])
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize plumbing: (media_id, width, height, pixels: binary).
+
+    Non-image rows are dropped (filter pushed to the scan, JVM-side).
+    Real deployment: replace _fake_pixels with
+    ``PIL.Image.open(io.BytesIO(b)).convert("RGB").resize((w, h)).tobytes()``
+    inside the same batch loop — schema, batching, and the w·h·3 output
+    size contract are unchanged.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("pixels", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pixels = [
+                _fake_pixels(bytes(p) if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "pixels": pixels,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame —
+    (media_id, frame_index, frame_ts_ms, frame: binary).
+
+    Demonstrates the 1→N row fan-out INSIDE mapInPandas (a frame sampler's
+    real shape: each video row yields n_frames output rows in the same
+    Arrow batch). The fake 'duration' is derived from payload length
+    (1 s per 64 bytes) and frames are sampled at uniform timestamps;
+    a real path swaps the two stub lines for pyav/decord seeks — the
+    fan-out, schema, and timestamp contract stay identical.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_index", IntegerType()),
+            StructField("frame_ts_ms", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                duration_ms = max(len(b) // 64, 1) * 1000          # stub duration
+                for j in range(n_frames):
+                    ts = (duration_ms * j) // n_frames
+                    ids.append(mid)
+                    idxs.append(j)
+                    tss.append(ts)
+                    frames.append(
+                        hashlib.sha256(b + j.to_bytes(4, "big")).digest()  # stub frame
+                    )
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": np.array(idxs, dtype=np.int32),
+                    "frame_ts_ms": np.array(tss, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, schema=out_schema)

@@ -337,3 +337,36 @@ def test_ivf_deterministic(spark):
     b = ivf_cosine_topk(df, queries, k=3).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_resize_images_plumbing(spark):
+    """Stubbed resize must honor the real output-size contract
+    (w*h*3 bytes), keep only image rows, and be deterministic."""
+    from anofox_forecast_spark.webtext.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, n=30)
+    out = resize_images(media, width=16, height=8).toPandas()
+    assert len(out) == 10  # 30 rows, kinds cycle image/audio/video
+    assert (out["width"] == 16).all() and (out["height"] == 8).all()
+    assert out["pixels"].map(len).eq(16 * 8 * 3).all()
+    again = resize_images(media, width=16, height=8).toPandas()
+    a = out.sort_values("media_id")["pixels"].map(bytes).tolist()
+    b = again.sort_values("media_id")["pixels"].map(bytes).tolist()
+    assert a == b
+
+
+def test_sample_frames_plumbing(spark):
+    """Frame sampler fans each video row out to n_frames rows with
+    monotonically increasing timestamps inside the duration."""
+    from anofox_forecast_spark.webtext.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=30)
+    out = sample_frames(media, n_frames=5).toPandas()
+    n_videos = 10
+    assert len(out) == n_videos * 5
+    per = out.groupby("media_id")
+    assert (per.size() == 5).all()
+    for _, g in per:
+        ts = g.sort_values("frame_index")["frame_ts_ms"].tolist()
+        assert ts == sorted(ts) and ts[0] == 0
+        assert g["frame"].map(len).eq(32).all()  # sha256 stub frames
