@@ -20,6 +20,7 @@ import math
 
 import numpy as np
 
+from anofox_forecast_spark.evaluation.metrics import winkler_score
 from anofox_forecast_spark.features.np_features import autocorrelation
 
 
@@ -116,10 +117,9 @@ def interval_calibration(
         inside = (actual >= r.lo) & (actual <= r.hi)
         covered += int(inside.sum())
         total += horizon
-        w = (r.hi - r.lo) \
-            + (2.0 / alpha) * np.maximum(r.lo - actual, 0.0) \
-            + (2.0 / alpha) * np.maximum(actual - r.hi, 0.0)
-        winkler_sum += float(w.sum())
+        # one source of truth for the formula (metrics.winkler_score);
+        # it returns the MEAN over the fold, so scale back to a sum
+        winkler_sum += winkler_score(actual, r.lo, r.hi, alpha) * horizon
         origin += step
     if total == 0:
         return {"coverage": np.nan, "nominal": level, "winkler": np.nan, "n": 0}

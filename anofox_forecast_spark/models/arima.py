@@ -407,9 +407,17 @@ def _hill_climb(y, h, level, s, d, D, max_p, max_q, max_P=2, max_Q=2):
         ((0, d, 0), (0, D, 0)),
         ((2, d, 2), (0, D, 0)),
     ]
+    # seeds honor the same order caps as the neighbor moves (code-review
+    # r3: an uncapped seed could win and escape the caller's max_* bounds)
+    starts = [
+        ((min(p0, max_p), d, min(q0, max_q)), (min(P0, max_P), D, min(Q0, max_Q)))
+        for (p0, _, q0), (P0, _, Q0) in starts
+    ]
     best, best_key, best_aic = None, None, np.inf
     evals = {}
     for o, so in starts:
+        if (o, so) in evals:  # caps can collapse seeds onto each other
+            continue
         r, aic = fit(o, so)
         evals[(o, so)] = aic
         if aic < best_aic:

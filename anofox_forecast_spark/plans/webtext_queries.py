@@ -195,7 +195,7 @@ def sql_dedup_ngram_jaccard():
         WITH words AS (
             SELECT doc_id,
                    string_split_regex(
-                       trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
                        ' +') AS w
             FROM documents
         ),

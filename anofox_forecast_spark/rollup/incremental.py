@@ -169,22 +169,35 @@ class IncrementalRollup:
         affected = [r.bucket_date for r in partials.select("bucket_date").distinct().collect()]
         n_partial = partials.count()
 
+        scoped = None
         if os.path.exists(self.path) and affected:
             dates = ",".join(f"'{d}'" for d in affected)
-            scoped = self.spark.read.parquet(self.path).filter(
-                F.expr(f"bucket_date IN ({dates})")
+            # mergeSchema: after a partial r2→r3 migration some partitions
+            # carry only __last_batch and others only __applied_log; plain
+            # parquet inference picks ONE arbitrary file's schema and could
+            # hide whichever guard column it missed — merge so both are
+            # always visible (null where a file lacks them).
+            scoped = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
+                .filter(F.expr(f"bucket_date IN ({dates})"))
             )
             # crash-replay guard: partitions whose applied-batch log already
             # contains this batch_id absorbed it before the crash — merge
             # only the rest. The log keeps the last APPLIED_LOG_DEPTH ids,
             # so the guard survives other batches landing between the crash
-            # and the replay (up to depth−1 interleaved writers).
+            # and the replay (up to depth−1 interleaved writers). Pre-r3
+            # partitions are recognized via their single __last_batch stamp.
+            conds = []
             if "__applied_log" in scoped.columns:
-                stamped = scoped.filter(
-                    F.array_contains(F.col("__applied_log"), batch_id)
-                )
-            elif "__last_batch" in scoped.columns:  # pre-r3 tables
-                stamped = scoped.filter(F.col("__last_batch") == batch_id)
+                conds.append(F.array_contains(F.col("__applied_log"), batch_id))
+            if "__last_batch" in scoped.columns:
+                conds.append(F.col("__last_batch") == batch_id)
+            if conds:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond | c
+                stamped = scoped.filter(cond)
             else:
                 stamped = scoped.limit(0)
             done_dates = {
@@ -216,20 +229,24 @@ class IncrementalRollup:
             merged = partials
         # per-partition applied-batch log: old log (any row of the partition
         # — whole partitions are written atomically, so rows agree) with
-        # this batch prepended, truncated to depth. Bounded control-plane
-        # read: one row per affected date.
+        # this batch prepended, truncated to depth. Reuses the already-
+        # filtered `scoped` frame (one read per ingest, not two); a pre-r3
+        # partition's lone __last_batch stamp is folded in as the log seed
+        # so the migration doesn't drop its replay guard.
         old_logs: dict = {}
-        if os.path.exists(self.path) and affected:
-            existing_all = self.spark.read.parquet(self.path)
-            if "__applied_log" in existing_all.columns:
-                dates = ",".join(f"'{d}'" for d in affected)
-                for r in (
-                    existing_all.filter(F.expr(f"bucket_date IN ({dates})"))
-                    .groupBy("bucket_date")
-                    .agg(F.first("__applied_log").alias("log"))
-                    .collect()
-                ):
-                    old_logs[r.bucket_date] = list(r.log or [])
+        if scoped is not None:
+            aggs = []
+            if "__applied_log" in scoped.columns:
+                aggs.append(F.first("__applied_log").alias("log"))
+            if "__last_batch" in scoped.columns:
+                aggs.append(F.first("__last_batch").alias("last"))
+            if aggs:
+                for r in scoped.groupBy("bucket_date").agg(*aggs).collect():
+                    log = list(getattr(r, "log", None) or [])
+                    last = getattr(r, "last", None)
+                    if last is not None and last not in log:
+                        log.append(last)
+                    old_logs[r.bucket_date] = log
         new_logs = [
             (d, ([batch_id] + old_logs.get(d, []))[: self.APPLIED_LOG_DEPTH])
             for d in affected

@@ -237,6 +237,22 @@ def _simhash_key_plan(max_hamming: int, min_key_bits: int = 14,
         best = (m, c)
         if c * (64 // m) >= min_key_bits:
             break
+    m, c = best
+    if c * (64 // m) < min_key_bits:
+        # at k >= ~12 no c fits under max_tables with a >= min_key_bits key:
+        # recall stays 100% but bucket cardinality collapses toward
+        # 2^(c*(64//m)) values and the candidate join degrades toward
+        # n²/2^keybits — say so instead of silently shipping the fan-out
+        # (code-review r3; same failure mode as the r2 single-chunk keys).
+        import warnings
+
+        warnings.warn(
+            f"simhash key plan at max_hamming={max_hamming}: join key is only "
+            f"{c * (64 // m)} bits (< {min_key_bits}) under the {max_tables}-table "
+            "cap; candidate fan-out grows ~n²/2^keybits on large corpora — "
+            "prefer MinHash-LSH or a per-bucket frequency cap at this distance",
+            stacklevel=3,
+        )
     return best
 
 
@@ -255,8 +271,15 @@ def simhash_near_dups(
     construction. c is auto-chosen so the join key is ≥ ~14 bits wide —
     the r2 version joined on single (k+1)-chunks, whose ≤ 6-bit keys at
     k=10 degraded toward n²/64 candidate fan-out (VERDICT r2 "what's
-    wrong" #2); combination keys keep the bucket collision rate
-    ~n²/2^(c·64/m) regardless of k.
+    wrong" #2); combination keys widen the effective key to ~c·64/m bits.
+    MEASURED caveat (tests/test_webtext.py::test_simhash_candidate_budget):
+    the idealized n²/2^keybits collision rate does not hold on short
+    documents — simhash bits are biased (a t-term ±1 vote ties to 0 with
+    probability C(t, t/2)/2^t, ≈14.5% at t=30), inflating bucket
+    collisions ~10-20× over uniform. At k=10 on 2k random 30-token docs
+    the combo plan generates ~16% of n² raw candidates (r2 plan: 56%).
+    For high k on large corpora combine with ``max_bucket_freq``, larger
+    documents (less bit bias), or switch to MinHash-LSH.
 
     ``max_bucket_freq`` (optional) additionally drops key buckets with
     more members than the cap — identical boilerplate docs share exact

@@ -126,3 +126,22 @@ def test_auto_arima_true_stepwise():
     assert r.params["search"] == "true_stepwise"
     assert r.params["n_evals"] <= 35  # bounded; grid-stepwise runs 27+ per (d,D)
     assert np.all(np.isfinite(r.yhat))
+
+
+def test_hill_climb_seeds_respect_caps():
+    """true_stepwise seeds are clamped to max_p/max_q/max_P/max_Q — a
+    winning uncapped seed must not escape the caller's bounds
+    (code-review r3 finding)."""
+    import numpy as np
+
+    from anofox_forecast_spark.models.arima import auto_arima
+
+    rng = np.random.default_rng(3)
+    t = np.arange(60)
+    y = 10 + 0.8 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.3, 60)
+    r = auto_arima(y, 6, m=12, max_P=0, max_Q=0, true_stepwise=True)
+    P, D, Q, _s = r.params["seasonal_order"]
+    assert P == 0 and Q == 0
+    r2 = auto_arima(y, 6, m=12, max_p=1, max_q=1, true_stepwise=True)
+    p, d, q = r2.params["order"]
+    assert p <= 1 and q <= 1

@@ -153,3 +153,44 @@ def test_crash_replay_survives_interleaved_batch(spark, tmp_path):
     assert not r["skipped"] and r.get("replay_completed")
     total = inc.read().agg(F.sum("crawl_count")).collect()[0][0]
     assert total == pages.count()
+
+
+def test_crash_replay_survives_pre_r3_migration(spark, tmp_path):
+    """Upgrading a table whose partitions carry only the old single
+    __last_batch stamp must fold that stamp into the new __applied_log:
+    a pre-upgrade batch whose log append was lost in a crash is still
+    recognized on replay AFTER another batch has migrated the partitions
+    to the log format (code-review r3 finding)."""
+    import shutil
+
+    pages = synthesize_pages(spark, n_pages=3000, n_hosts=5, weeks=1).cache()
+    b1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+    b2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 1)
+    b3 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 2)
+    inc = IncrementalRollup(spark, str(tmp_path / "agg"), "1d")
+    inc.ingest(b1, "b1")
+    inc.ingest(b2, "b2")  # tier write lands ...
+    # rewrite the stored table into the PRE-R3 format: single __last_batch
+    # stamp (the most recent batch), no __applied_log
+    stored = (
+        spark.read.option("mergeSchema", "true").parquet(inc.path)
+        .drop("__applied_log")
+        .withColumn("__last_batch", F.lit("b2"))
+        .toPandas()
+    )
+    shutil.rmtree(inc.path)
+    (
+        spark.createDataFrame(stored)
+        .withColumn("bucket_date", F.col("bucket_date").cast("date"))
+        .repartition("bucket_date")
+        .write.partitionBy("bucket_date").parquet(inc.path)
+    )
+    # ... and b2's batch-log append is lost in a crash
+    shutil.rmtree(inc.batches_path)
+    inc._log_batch("b1", 0)
+    # an r3-format batch migrates the partitions to __applied_log
+    inc.ingest(b3, "b3")
+    r = inc.ingest(b2, "b2")  # replay of the crashed pre-upgrade batch
+    assert not r["skipped"] and r.get("replay_completed")
+    total = inc.read().agg(F.sum("crawl_count")).collect()[0][0]
+    assert total == pages.count()

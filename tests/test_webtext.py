@@ -232,9 +232,24 @@ def test_simhash_recall_at_k10_combo_keys(spark):
 
 
 def test_simhash_candidate_budget(spark):
-    """Scale guard (VERDICT r2 'what's wrong' #2): on a corpus of unrelated
-    docs the combo-key join must generate candidates FAR below n^2 — the r2
-    6-bit single-chunk keys at k=10 collided ~n^2/64."""
+    """Scale guard (VERDICT r2 'what's wrong' #2): measure the RAW
+    candidate count (union of bucket-colliding pairs BEFORE the hamming
+    filter) by replicating the combo-key join in numpy, and require it to
+    (a) beat the r2 single-chunk plan by >= 3x and (b) stay under n²/5.
+
+    Measured at this corpus (2k random 30-token docs, k=10): combo plan
+    (13,3) -> ~323k candidates (16% of n²) vs r2 single-chunk -> ~1.12M
+    (56%). The idealized ~n²/2^keybits rate does NOT hold because simhash
+    bits are biased on short docs (a 30-term ±1 vote ties to 0 with
+    p≈14.5%), which inflates bucket collisions — hence the module's
+    warning + max_bucket_freq escape hatch at high k."""
+    from itertools import combinations
+
+    from anofox_forecast_spark.webtext.dedup import (
+        _simhash_key_plan,
+        simhash_signatures,
+    )
+
     rng = np.random.default_rng(3)
     vocab = [f"w{i}" for i in range(5000)]
     docs = [
@@ -243,16 +258,42 @@ def test_simhash_candidate_budget(spark):
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(8)
     n = len(docs)
-    # count raw candidates BEFORE the hamming filter: replicate the join
-    from anofox_forecast_spark.webtext.dedup import _simhash_key_plan
+    sig = simhash_signatures(df, "doc_id", "text").toPandas().set_index("id")["simhash"]
+    sigs = sig.sort_index().to_numpy().astype(np.uint64)
 
-    out = simhash_near_dups(df, "doc_id", "text", max_hamming=10)
-    survivors = out.count()
-    # random 30-token docs over a 5k vocab are nowhere near hamming<=10
-    assert survivors < n  # essentially none survive
-    # and the key plan itself guarantees wide keys
+    def chunks_of(m):
+        base, extra = divmod(64, m)
+        widths = [base + (1 if i < extra else 0) for i in range(m)]
+        offsets = [sum(widths[:i]) for i in range(m)]
+        return [
+            (sigs >> np.uint64(offsets[i])) & np.uint64((1 << widths[i]) - 1)
+            for i in range(m)
+        ]
+
+    def raw_candidates(m, c):
+        ch = chunks_of(m)
+        pairs = set()
+        for combo in combinations(range(m), c):
+            packed = ch[combo[0]].astype(object)
+            for idx in combo[1:]:
+                packed = packed * (1 << 6) + ch[idx].astype(object)
+            buckets: dict = {}
+            for i, k in enumerate(packed):
+                buckets.setdefault(k, []).append(i)
+            for members in buckets.values():
+                for a_i in range(len(members)):
+                    for b_i in range(a_i + 1, len(members)):
+                        pairs.add((members[a_i], members[b_i]))
+        return len(pairs)
+
     m, c = _simhash_key_plan(10)
-    assert c * (64 // m) >= 12, (m, c)
+    combo = raw_candidates(m, c)
+    single = raw_candidates(11, 1)  # the r2 plan: k+1 chunks, 1-chunk keys
+    assert combo * 3 < single, (combo, single)
+    assert combo < n * n / 5, combo
+    # survivors sanity: random docs are nowhere near hamming<=10
+    out = simhash_near_dups(df, "doc_id", "text", max_hamming=10)
+    assert out.count() < n
 
 
 def test_simhash_bucket_freq_cap(spark):
@@ -370,3 +411,33 @@ def test_sample_frames_plumbing(spark):
         ts = g.sort_values("frame_index")["frame_ts_ms"].tolist()
         assert ts == sorted(ts) and ts[0] == 0
         assert g["frame"].map(len).eq(32).all()  # sha256 stub frames
+
+
+def test_ngram_jaccard_oracle_agrees_on_unicode(spark):
+    """The DuckDB oracle's word regex must match _words on NON-ASCII text
+    (code-review r3: the oracle used ASCII [^a-z0-9 ] while Spark uses
+    \\p{L}\\p{N} — silent divergence the all-ASCII driver corpus hid)."""
+    import duckdb
+    import pandas as pd
+
+    from anofox_forecast_spark.plans.webtext_queries import sql_dedup_ngram_jaccard
+
+    docs = [
+        (0, "café déjà vu très élégant après midi über alles"),
+        (1, "café déjà vu très élégant après midi über tout"),
+        (2, "λόγος ästhetik здравствуй entirely unrelated content words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = (
+        ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = (
+        con.sql(sql_dedup_ngram_jaccard()).df()
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert got[["id_a", "id_b"]].values.tolist() == want[["id_a", "id_b"]].values.tolist()
+    assert (got["jaccard"].round(6) == want["jaccard"].round(6)).all()
+    assert len(got) >= 1  # the accented near-dup pair must survive both sides
