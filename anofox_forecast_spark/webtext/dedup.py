@@ -216,7 +216,7 @@ def _fnv1a64(s: str) -> int:
 
 
 def _simhash_key_plan(max_hamming: int, min_key_bits: int = 14,
-                      max_tables: int = 384) -> tuple[int, int]:
+                      max_tables: int = 384, warn: bool = True) -> tuple[int, int]:
     """Pick (n_chunks m, combo size c) for the pigeonhole key tables.
 
     Any pair with ≤ k differing bits leaves ≥ m − k chunks untouched, so
@@ -238,7 +238,7 @@ def _simhash_key_plan(max_hamming: int, min_key_bits: int = 14,
         if c * (64 // m) >= min_key_bits:
             break
     m, c = best
-    if c * (64 // m) < min_key_bits:
+    if warn and c * (64 // m) < min_key_bits:
         # at k >= ~12 no c fits under max_tables with a >= min_key_bits key:
         # recall stays 100% but bucket cardinality collapses toward
         # 2^(c*(64//m)) values and the candidate join degrades toward
@@ -293,7 +293,9 @@ def simhash_near_dups(
             f"max_hamming={max_hamming}: beyond 15 the combination tables "
             "explode; use MinHash-LSH for looser matching."
         )
-    n_chunks, c = _simhash_key_plan(max_hamming)
+    # the narrow-key warning is moot when the caller already bounds
+    # bucket population with max_bucket_freq
+    n_chunks, c = _simhash_key_plan(max_hamming, warn=max_bucket_freq is None)
     base, extra = divmod(64, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
