@@ -1,0 +1,112 @@
+"""Deterministic synthetic document / embedding corpora for webtext
+benchmarking (same fully-distributed construction as sources/pages.py:
+every value is a pure function of the row id via xxhash64, zero driver
+data, no Python in the row path — scales from 10k test rows to 10^9).
+
+The driver's documents.parquet tops out at 5k rows — far too small to
+measure dedup/ANN throughput — so bench.py synthesizes larger corpora
+with these and reports docs/sec / vecs/sec alongside the headline
+pipeline numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthesize_documents(
+    spark: SparkSession,
+    n_docs: int = 200_000,
+    vocab_size: int = 20_000,
+    min_words: int = 40,
+    max_words: int = 120,
+    dup_rate: float = 0.10,
+    near_rate: float = 0.05,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, text): word tokens drawn per position from a hashed vocab.
+
+    - ``dup_rate`` of docs clone the text of one of the first n/10 docs
+      (exact duplicates for exact_dedup to find);
+    - ``near_rate`` additionally clone but resample ~5% of positions
+      (near-duplicates for minhash/simhash/jaccard to find);
+    - everything else is rid-keyed noise.
+    """
+    base = spark.range(0, n_docs, 1,
+                       partitions or spark.sparkContext.defaultParallelism)
+    rid = F.col("id")
+    base_n = max(n_docs // 10, 1)
+
+    def u(salt):
+        h = F.xxhash64(rid, F.lit(salt), F.lit(seed))
+        return (F.pmod(h, F.lit(1_000_000_000)).cast("double")) / 1e9
+
+    u_kind = u(1)
+    content_id = (
+        F.when(u_kind < dup_rate + near_rate, F.pmod(rid, F.lit(base_n)))
+        .otherwise(rid)
+    )
+    is_near = (u_kind >= dup_rate) & (u_kind < dup_rate + near_rate)
+    n_words = (
+        F.pmod(F.xxhash64(content_id, F.lit(2), F.lit(seed)),
+               F.lit(max_words - min_words + 1)) + min_words
+    ).cast("int")
+
+    def word_at(key_col, pos):
+        return F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(key_col, pos, F.lit(seed + 3)),
+                   F.lit(vocab_size)).cast("string"),
+        )
+
+    # near-dups resample ~5% of positions with rid-keyed words
+    mutate = F.lit(is_near)
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.when(
+            mutate & (F.pmod(F.xxhash64(rid, i, F.lit(seed + 4)), F.lit(20)) == 0),
+            word_at(rid, i),
+        ).otherwise(word_at(content_id, i)),
+    )
+    return base.select(
+        rid.alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+    )
+
+
+def synthesize_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 100_000,
+    dim: int = 64,
+    n_clusters: int = 0,
+    spread: float = 0.3,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(vec_id, embedding: array<float>) with hash-derived components in
+    [−1, 1). ``n_clusters > 0`` draws each vector as cluster centroid +
+    spread·noise (recall-friendly structure); 0 gives iid noise.
+    """
+    base = spark.range(0, n_vecs, 1,
+                       partitions or spark.sparkContext.defaultParallelism)
+    rid = F.col("id")
+
+    def comp(key_col, i, salt):
+        h = F.xxhash64(key_col, i, F.lit(salt))
+        return (F.pmod(h, F.lit(2_000_001)).cast("double") - 1_000_000.0) / 1e6
+
+    if n_clusters > 0:
+        cluster = F.pmod(rid, F.lit(n_clusters))
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (comp(cluster, i, seed) + spread * comp(rid, i, seed + 1))
+            .cast("float"),
+        )
+    else:
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: comp(rid, i, seed).cast("float"),
+        )
+    return base.select(rid.alias("vec_id"), vec.alias("embedding"))

@@ -386,6 +386,7 @@ def embedding_near_dups(
     in tests (test_webtext), not asserted.
     """
     from anofox_forecast_spark.webtext.similarity import (
+        _cos_batch,
         _dot,
         _norm,
         hyperplane_buckets,
@@ -402,22 +403,41 @@ def embedding_near_dups(
         ).withColumn("nb", _norm(F.col("vb")))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
+        # buckets carry ids only; unique pairs dedup on two longs, then
+        # vectors join back once per pair (same shape as lsh_cosine_topk)
         ab = hyperplane_buckets(emb, id_col, vec_col, "x", n_planes=n_planes,
                                 n_tables=n_tables, dim=dim, seed=seed)
         bb = hyperplane_buckets(emb, id_col, vec_col, "y", n_planes=n_planes,
                                 n_tables=n_tables, dim=dim, seed=seed)
-        pairs = (
+        cand = (
             ab.join(bb, on="bucket")
+            .select("x_id", "y_id")
             .filter(F.col("x_id") < F.col("y_id"))
             .dropDuplicates(["x_id", "y_id"])
-            .select(F.col("x_id").alias("id_a"), F.col("x_v").alias("va"),
-                    F.col("x_n").alias("na"), F.col("y_id").alias("id_b"),
-                    F.col("y_v").alias("vb"), F.col("y_n").alias("nb"))
+        )
+        va = emb.select(
+            F.col(id_col).alias("id_a"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("va"),
+        ).withColumn("na", _norm(F.col("va")))
+        vb = emb.select(
+            F.col(id_col).alias("id_b"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vb"),
+        ).withColumn("nb", _norm(F.col("vb")))
+        pairs = (
+            cand.select(F.col("x_id").alias("id_a"), F.col("y_id").alias("id_b"))
+            .join(va, "id_a")
+            .join(vb, "id_b")
         )
     else:
         raise ValueError(f"unknown method {method!r} (exact|lsh)")
 
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if method == "exact":
+        # JVM fold: float accumulation order pinned to the DuckDB oracle's
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    else:
+        # rows-only scale path: Arrow-batched einsum (the interpreted
+        # aggregate fold dominates on large candidate sets)
+        cos = _cos_batch()(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -32,6 +32,30 @@ def _dot(a, b):
                        lambda acc, x: acc + x)
 
 
+def _cos_batch():
+    """Arrow-batched cosine over candidate rows: one einsum per batch.
+
+    The JVM ``aggregate`` fold in _dot is a higher-order function — it
+    never enters whole-stage codegen, so per-candidate interpretation
+    dominates once the candidate join emits millions of rows (measured
+    ~2× of the LSH ANN stage). Used on the rows-only approximate paths
+    (LSH/IVF); the DuckDB-oracled brute-force path keeps the JVM fold so
+    its float accumulation order stays pinned to the oracle's.
+    """
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        if ma.ndim != 2 or ma.shape[0] == 0:
+            return pd.Series(np.zeros(len(a)))
+        return pd.Series(
+            np.einsum("ij,ij->i", ma, mb) / (na.to_numpy() * nb.to_numpy())
+        )
+
+    return cos
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -94,6 +118,11 @@ def lsh_cosine_topk(
     """
     from pyspark.sql import Window
 
+    # Buckets carry IDS ONLY: the pair-dedup shuffle moves two longs per
+    # candidate instead of two 64-double vectors (the vector-carrying
+    # first cut shuffled ~1 KB/candidate through dropDuplicates — measured
+    # dominant in bench.py's wx_ann stage). Vectors join back once per
+    # UNIQUE pair: corpus side co-partitioned on id, query side broadcast.
     cb = hyperplane_buckets(corpus, id_col, vec_col, "c",
                             n_planes=n_planes, n_tables=n_tables, dim=dim,
                             seed=seed)
@@ -102,10 +131,20 @@ def lsh_cosine_topk(
                             seed=seed, probe=multiprobe)
     cand = (
         cb.join(qb, on="bucket")
+        .select("c_id", "q_id")
         .filter(F.col("c_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
-    cos = _dot(F.col("c_v"), F.col("q_v")) / (F.col("c_n") * F.col("q_n"))
+    cvec = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("c_v"),
+    ).withColumn("c_n", _norm(F.col("c_v")))
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("q_v"),
+    ).withColumn("q_n", _norm(F.col("q_v")))
+    cand = cand.join(cvec, "c_id").join(F.broadcast(qvec), "q_id")
+    cos = _cos_batch()(F.col("c_v"), F.col("q_v"), F.col("c_n"), F.col("q_n"))
     scored = cand.select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("neighbor_id"),
@@ -130,55 +169,46 @@ def hyperplane_buckets(
     seed: int = 42,
     probe: int = 0,
 ) -> DataFrame:
-    """One row per (vector, bucket): columns {prefix}_id, {prefix}_v
-    (double array), {prefix}_n (L2 norm), bucket ("table:signature").
+    """One row per (vector, bucket): columns {prefix}_id, bucket
+    ("table:signature"). IDS ONLY — callers join vectors back after
+    candidate-pair dedup so the wide payload never rides the bucket
+    explode/shuffle.
 
-    Deterministic hyperplanes from a seeded numpy RNG, embedded as
-    literals so the signature is pure JVM-side codegen (no Python in the
-    per-row path). ``probe=1`` additionally emits, per table, the
-    n_planes 1-bit-flipped neighbor buckets (query-side multiprobe).
+    Deterministic hyperplanes from a seeded numpy RNG. All T·P signature
+    dot products are ONE Arrow-batched numpy matmul (B×dim @ dim×T·P) in
+    a pandas UDF — the first cut inlined each plane as a 64-literal
+    zip_with/aggregate fold, and at 16 tables × 8-16 planes the resulting
+    128-256-fold expression tree made signature computation ~50× slower
+    than the matmul (measured in bench.py's wx_ann stage; same reason IVF
+    assigns cells in numpy). ``probe=1`` additionally emits, per table,
+    the n_planes 1-bit-flipped neighbor buckets (query-side multiprobe).
     """
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes)
 
-    def signature(vec_col_name: str, t: int):
-        bits = []
-        for p in range(n_planes):
-            lits = [float(v) for v in planes[t, p]]
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col_name),
-                    F.array(*[F.lit(v) for v in lits]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    @F.pandas_udf("array<string>")
+    def buckets_of(embs: pd.Series) -> pd.Series:
+        m = np.array(embs.tolist(), dtype=np.float64)
+        if m.ndim != 2 or m.shape[0] == 0:
+            return pd.Series([[] for _ in range(len(embs))])
+        bits = (m @ flat.T) >= 0.0                      # B × (T·P)
+        out = []
+        for row in bits:
+            bs = []
+            for t in range(n_tables):
+                sig = int(row[t * n_planes:(t + 1) * n_planes] @ weights)
+                bs.append(f"{t}:{sig}")
+                if probe >= 1:
+                    bs.extend(f"{t}:{sig ^ (1 << b)}" for b in range(n_planes))
+            out.append(bs)
+        return pd.Series(out)
 
-    out = df.select(
+    return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias(f"{prefix}_v"),
+        F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
     )
-    out = out.withColumn(f"{prefix}_n", _norm(F.col(f"{prefix}_v")))
-    sigs = [signature(f"{prefix}_v", t) for t in range(n_tables)]
-    buckets = []
-    for t, s in enumerate(sigs):
-        buckets.append(F.concat_ws(":", F.lit(t), s.cast("string")))
-        if probe >= 1:
-            # 1-bit multiprobe: neighbor buckets of the query signature
-            buckets.extend(
-                F.concat_ws(
-                    ":", F.lit(t),
-                    s.bitwiseXOR(F.lit(1 << b)).cast("string"),
-                )
-                for b in range(n_planes)
-            )
-    return out.withColumn("bucket", F.explode(F.array(*buckets)))
 
 
 def _spherical_kmeans(vecs: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
@@ -270,7 +300,7 @@ def ivf_cosine_topk(
         .withColumn("qn", _norm(F.col("qv")))
     )
     cand = c.join(q, on="cell").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    cos = _cos_batch()(F.col("cv"), F.col("qv"), F.col("cn"), F.col("qn"))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -132,6 +132,65 @@ def main() -> None:
     timed("events_gapfill_locf", lambda: dq.q_gapfill_locf_1h(spark, SF_DIR).count())
     timed("events_forecast_snaive", lambda: dq.q_forecast_snaive_1h(spark, SF_DIR).count())
 
+    # --- webtext operators (LLM-pipeline surface) ------------------------
+    # Separate timing dict: the headline `value`/`queries` stay composed of
+    # the same stages as earlier rounds (round-over-round comparable); the
+    # webtext block reports docs/sec / vec throughput on synthesized
+    # corpora large enough to measure (driver parquet tops out at 5k docs).
+    from anofox_forecast_spark.sources.webtext_synth import (
+        synthesize_documents,
+        synthesize_embeddings,
+    )
+    from anofox_forecast_spark.webtext.dedup import (
+        embedding_near_dups,
+        exact_dedup,
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+    from anofox_forecast_spark.webtext.similarity import lsh_cosine_topk
+    from anofox_forecast_spark.webtext.text_stats import quality_scores
+
+    wx: dict[str, float] = {}
+
+    def wtimed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        wx[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+    n_vecs = int(os.environ.get("SPARK_GRAFT_BENCH_VECS", "100000"))
+    docs = synthesize_documents(spark, n_docs=n_docs).persist()
+    wtimed("wx_docs_materialize", docs.count)
+    wtimed("wx_dedup_exact", lambda: exact_dedup(docs, "doc_id", "text").count())
+    wtimed("wx_dedup_minhash", lambda: minhash_lsh_candidates(
+        docs, "doc_id", "text", n_hashes=32, bands=8, est_threshold=0.2).count())
+    wtimed("wx_dedup_simhash_k3", lambda: simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=3).count())
+    wtimed("wx_text_quality", lambda: quality_scores(docs, "doc_id", "text").count())
+    docs.unpersist()
+
+    emb_c = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=1000).persist()
+    wtimed("wx_emb_materialize", emb_c.count)
+    n_q = 256
+    wtimed("wx_ann_lsh_topk", lambda: lsh_cosine_topk(
+        emb_c, emb_c.filter(F.col("vec_id") < n_q), k=5).count())
+    emb_u = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=0, seed=7)
+    wtimed("wx_dedup_embedding_lsh", lambda: embedding_near_dups(
+        emb_u, threshold=0.8, method="lsh", n_planes=16, n_tables=16).count())
+    emb_c.unpersist()
+
+    webtext = {
+        "queries": wx,
+        "docs": n_docs,
+        "vecs": n_vecs,
+        "datagen_sec": round(wx["wx_docs_materialize"] + wx["wx_emb_materialize"], 3),
+        "minhash_docs_per_sec": round(n_docs / wx["wx_dedup_minhash"])
+        if wx.get("wx_dedup_minhash") else None,
+        "ann_queries_per_sec": round(n_q / wx["wx_ann_lsh_topk"])
+        if wx.get("wx_ann_lsh_topk") else None,
+    }
+
     # headline value = ENGINE work only; pages_materialize is synthetic-data
     # generation (datagen), reported separately so the rate derivations and
     # the headline are not inflated by input synthesis (~half the wall time)
@@ -156,6 +215,7 @@ def main() -> None:
         "counters": counters,
         "rolled_points_per_sec": round(rolled_points / rollup_sec) if rollup_sec else None,
         "forecast_series_per_sec": round(3 * n_series / fc_sec) if fc_sec else None,
+        "webtext": webtext,
     }
     print(json.dumps(result))
 
