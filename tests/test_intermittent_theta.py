@@ -143,6 +143,35 @@ def test_ensemble_mean_median_weighted():
     assert abs(a.yhat[0] - 50) < 5
 
 
+def test_ensemble_custom_weights():
+    """Custom variant (ref ensemble/model.rs:12-21,174-186): user weights,
+    sum-normalized; length validated against model count; degenerate
+    one-hot weights reproduce the single member exactly."""
+    rng = np.random.default_rng(5)
+    y = 50 + rng.normal(0, 3, 60)
+    # equal custom weights == mean (same members, both 1/n combinations)
+    eq = T.ensemble(y, 5, method="custom", weights=[1.0, 1.0, 1.0])
+    mean = T.ensemble(y, 5, method="mean")
+    np.testing.assert_allclose(eq.yhat, mean.yhat, rtol=1e-12)
+    # normalization: [2,2,2] == [1,1,1]
+    eq2 = T.ensemble(y, 5, method="custom", weights=[2.0, 2.0, 2.0])
+    np.testing.assert_array_equal(eq.yhat, eq2.yhat)
+    # one-hot picks out a single member
+    from anofox_forecast_spark.models.registry import get_model
+
+    ses_only = T.ensemble(y, 5, models=("ses", "theta"), method="custom",
+                          weights=[1.0, 0.0])
+    ses = get_model("ses")(y, 5, 0.95, 1)
+    np.testing.assert_allclose(ses_only.yhat, ses.yhat, rtol=1e-12)
+    # length mismatch raises like the ref
+    import pytest
+
+    with pytest.raises(ValueError, match="doesn't match model count"):
+        T.ensemble(y, 5, method="custom", weights=[0.5, 0.5])
+    with pytest.raises(ValueError, match="doesn't match model count"):
+        T.ensemble(y, 5, method="custom")
+
+
 def test_theta_stm_vs_otm_differ():
     rng = np.random.default_rng(11)
     t = np.arange(60, dtype=np.float64)
