@@ -1,0 +1,145 @@
+"""spark-submit entrypoint: webtext dedup/ANN stages as one job, for the
+N vs 4N scaling-efficiency evidence (VERDICT r3 "next round" #2 — the
+dedup/ANN joins are the likeliest skew victims at 100x and previously had
+throughput numbers but no scaling pair).
+
+    spark-submit --master local[N] --py-files dist/anofox_forecast_spark.zip \
+        jobs/webtext_job.py --docs 1000000 --vecs 300000
+
+Stages (each timed; one JSON line on stdout):
+  synthesize docs+vecs -> warm python workers -> minhash-LSH dedup ->
+  simhash(k=3) dedup -> embedding-LSH near-dup -> IVF ANN top-k.
+
+Same protocol as jobs/pipeline_job.py: shuffle partitioning fixed so only
+executor parallelism varies between runs; synthesis and worker warm-up are
+reported but excluded from work_seconds (fixed per-JVM overheads would
+otherwise anti-scale the ratio); --repeat reports the last iteration
+(steady state: JIT done, signatures' input caches hot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=300_000)
+    ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="build local[N] session (omit under spark-submit)")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    if args.cpus:
+        from anofox_forecast_spark.session import get_spark
+
+        spark = get_spark("webtext-job", cpus=args.cpus,
+                          shuffle_partitions=args.shuffle_partitions)
+    else:
+        spark = SparkSession.builder.getOrCreate()
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from anofox_forecast_spark.sources.webtext_synth import (
+        synthesize_documents,
+        synthesize_embeddings,
+    )
+    from anofox_forecast_spark.webtext.dedup import (
+        embedding_near_dups,
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+    from anofox_forecast_spark.webtext.similarity import ivf_cosine_topk
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    docs = synthesize_documents(spark, n_docs=args.docs).persist()
+    vecs = synthesize_embeddings(spark, n_vecs=args.vecs, n_clusters=0, seed=7).persist()
+    counts["docs"] = timed("synthesize", docs.count)
+    counts["vecs"] = timed("synthesize_vecs", vecs.count)
+
+    # spawn+import the Python UDF workers once, outside the measured stages
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s.str.len()
+
+    timed("warm_workers", lambda: docs.select(F.bit_xor(_warm("text"))).collect())
+
+    queries = vecs.filter(F.col("vec_id") < 256)
+
+    def stage_minhash():
+        return minhash_lsh_candidates(
+            docs, "doc_id", "text", n_hashes=32, bands=8, est_threshold=0.2
+        ).count()
+
+    def stage_simhash():
+        return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).count()
+
+    def stage_emb_lsh():
+        return embedding_near_dups(
+            vecs, threshold=0.8, method="lsh", n_planes=16, n_tables=16
+        ).count()
+
+    def stage_ivf():
+        return ivf_cosine_topk(
+            vecs, queries, k=5, n_cells=64, n_probe=8
+        ).count()
+
+    fixed = {k: timings[k] for k in ("synthesize", "synthesize_vecs", "warm_workers")}
+    n_rep = max(args.repeat, 1)
+    for it in range(n_rep):
+        timings.clear()
+        timings.update(fixed)
+        counts["minhash_pairs"] = timed("minhash_lsh", stage_minhash)
+        counts["simhash_pairs"] = timed("simhash_k3", stage_simhash)
+        counts["emb_pairs"] = timed("emb_dedup_lsh", stage_emb_lsh)
+        counts["ivf_rows"] = timed("ivf_topk", stage_ivf)
+        if it < n_rep - 1:
+            # the dedup ops persist their signature tables internally; a
+            # repeat's IDENTICAL plan would be substituted from that cache
+            # (CacheManager plan matching) and measure ~0 — drop everything
+            # and re-pin the inputs outside the timed stages
+            spark.catalog.clearCache()
+            docs.persist()
+            vecs.persist()
+            docs.count()
+            vecs.count()
+
+    work = round(sum(t for k, t in timings.items()
+                     if k not in ("synthesize", "synthesize_vecs", "warm_workers")), 3)
+    out = {
+        "timings": timings,
+        "counts": counts,
+        "work_seconds": work,
+        "minhash_docs_per_sec": round(args.docs / timings["minhash_lsh"]),
+        "docs": args.docs,
+        "vecs": args.vecs,
+        "shuffle_partitions": args.shuffle_partitions,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""N vs 4N scaling evidence for the webtext dedup/ANN stages (VERDICT r3
+"next round" #2 — these joins previously had throughput numbers but no
+scaling pair, and they're the likeliest skew victims at 100x).
+
+Runs jobs/webtext_job.py via spark-submit --py-files at local[N] and
+local[4N] (clean JVM each), computes per-stage efficiency
+(T_N / T_4N) / 4, and writes BENCH/WEBTEXT_SCALING.md.
+
+Protocol (BENCH/BASELINE.md): the clean pair on this sandbox is 2 -> 8
+cores — the VM throttles aggregate CPU above ~8 busy processes, so 8 -> 32
+raw ratios measure the platform, not the engine. Run EXCLUSIVELY (nothing
+else on the machine).
+
+Usage: python tools/bench_scaling_webtext.py [--docs 1000000] [--vecs 300000] [--n 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.build_dist import build_pyfiles  # noqa: E402
+
+STAGES = ["minhash_lsh", "simhash_k3", "emb_dedup_lsh", "ivf_topk"]
+
+
+def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zpath,
+        os.path.join(REPO, "jobs", "webtext_job.py"),
+        "--docs", str(docs),
+        "--vecs", str(vecs),
+        "--shuffle-partitions", str(shuffle),
+        "--repeat", "1",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=300_000)
+    ap.add_argument("--n", type=int, default=2, help="small level (4N = big)")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    zpath = build_pyfiles()
+    small = run_level(args.n, args.docs, args.vecs, zpath, args.shuffle_partitions)
+    big = run_level(args.n * 4, args.docs, args.vecs, zpath, args.shuffle_partitions)
+
+    rows = []
+    for s in STAGES:
+        t_n, t_4n = small["timings"][s], big["timings"][s]
+        eff = (t_n / t_4n) / 4 if t_4n > 0 else float("nan")
+        rows.append((s, t_n, t_4n, round(t_n / t_4n, 2), round(eff, 3)))
+    total_n, total_4n = small["work_seconds"], big["work_seconds"]
+    overall_eff = (total_n / total_4n) / 4
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = [
+        "# BENCH/WEBTEXT_SCALING — N vs 4N scaling evidence (dedup/ANN stages)",
+        "",
+        f"Identical `spark-submit --py-files` job (jobs/webtext_job.py) on the",
+        f"same synthetic corpus ({args.docs:,} docs, {args.vecs:,} vectors) at",
+        f"`local[{args.n}]` and `local[{args.n * 4}]`; shuffle partitions fixed at",
+        f"{args.shuffle_partitions}; clean JVM per run; Python workers warmed and",
+        "corpus synthesis excluded from measured work (fixed per-JVM overheads).",
+        "Sandbox proxy for the two-cluster-size criterion (no real cluster).",
+        "",
+        f"| stage | T_N={args.n} (s) | T_4N={args.n * 4} (s) | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for s, t_n, t_4n, sp, eff in rows:
+        md.append(f"| {s} | {t_n} | {t_4n} | {sp}x | {eff} |")
+    md += [
+        f"| **total** | **{total_n}** | **{total_4n}** |"
+        f" **{round(total_n / total_4n, 2)}x** | **{round(overall_eff, 3)}** |",
+        "",
+        f"- minhash docs/sec: {small['minhash_docs_per_sec']:,} @N → "
+        f"{big['minhash_docs_per_sec']:,} @4N",
+        f"- target: efficiency ≥ 0.8 (BASELINE.json) — "
+        f"{'MET' if overall_eff >= 0.8 else 'NOT MET'} at {round(overall_eff, 3)}",
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps({"N": small, "4N": big}, indent=2),
+        "```",
+    ]
+    path = os.path.join(REPO, "BENCH", "WEBTEXT_SCALING.md")
+    with open(path, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(f"wrote {path}; overall efficiency={round(overall_eff, 3)}")
+
+
+if __name__ == "__main__":
+    main()
