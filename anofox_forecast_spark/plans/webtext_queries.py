@@ -240,6 +240,43 @@ def sql_dedup_ngram_jaccard():
     """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate GROUPS from near-dup pairs: min-label connected components
+    over the (oracled) n-gram Jaccard pair graph — the collapse step a
+    training-data dedup pipeline runs after candidate generation. Oracle:
+    DuckDB recursive CTE over the identical edge set."""
+    from anofox_forecast_spark.webtext.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def sql_dedup_components():
+    # same edge set as sql_dedup_ngram_jaccard (proven hash-equal), then
+    # transitive min-label reachability via a recursive CTE; UNION dedups
+    # so the recursion terminates
+    base = sql_dedup_ngram_jaccard().strip()
+    assert base.startswith("WITH ")
+    inner = base[len("WITH "):]  # splice the pair CTEs under WITH RECURSIVE
+    return f"""
+        WITH RECURSIVE {inner.replace('SELECT i.id_a', ', prs AS (SELECT i.id_a', 1)}
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM prs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM prs
+        ), reach(id, label) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+        )
+        SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+    """
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -309,6 +346,7 @@ def build_queries():
         "dedup_embedding": q_dedup_embedding,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_fingerprint": q_text_fingerprint,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -321,6 +359,7 @@ def build_oracle_sql():
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_embedding": sql_dedup_embedding(),
+        "dedup_components": sql_dedup_components(),
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →
         # rows-only driver check (cross-engine hash functions / k-means
         # quantizer differ)

@@ -489,6 +489,67 @@ def simhash_near_dups(
     ).select("id_a", "id_b", "hamming")
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-dup pairs → canonical duplicate GROUPS: (id, component) where
+    component = min id reachable in the pair graph.
+
+    The step every dedup pipeline needs after candidate generation: pair
+    lists (minhash/simhash/ngram/embedding) must collapse into groups so
+    one survivor per group can be kept. Min-label propagation: each
+    iteration every node takes the min label among itself and its
+    neighbors; converges in graph-diameter iterations (near-dup
+    components are cliquey, diameter ~2-4). Per iteration: one join +
+    one groupBy shuffle over the EDGE list, an eager localCheckpoint to
+    truncate lineage (else the plan doubles per iteration), and one
+    bounded driver action (the convergence count) — the textbook
+    distributed-CC shape; swap to large-star/small-star (Kiveris et al.)
+    only if diameters grow beyond a handful at production scale.
+
+    Only ids appearing in ≥1 pair are labeled (singletons are trivially
+    their own component). No reference counterpart (driver-prompt
+    training-pipeline operator).
+    """
+    edges = pairs.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))).persist()
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        propagated = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .select(F.col("d").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iters} iterations"
+        )
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -533,11 +594,13 @@ def embedding_near_dups(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         # buckets carry ids only; unique pairs dedup on two longs, then
-        # vectors join back once per pair (same shape as lsh_cosine_topk)
+        # vectors join back once per pair (same shape as lsh_cosine_topk).
+        # The corpus is hashed ONCE and materialized — the self-join's two
+        # branches would otherwise each run the full signature pass
+        # (r4 lesson: unmaterialized subtrees re-execute per plan reference)
         ab = hyperplane_buckets(emb, id_col, vec_col, "x", n_planes=n_planes,
-                                n_tables=n_tables, dim=dim, seed=seed)
-        bb = hyperplane_buckets(emb, id_col, vec_col, "y", n_planes=n_planes,
-                                n_tables=n_tables, dim=dim, seed=seed)
+                                n_tables=n_tables, dim=dim, seed=seed).persist()
+        bb = ab.select(F.col("x_id").alias("y_id"), "bucket")
         cand = (
             ab.join(bb, on="bucket")
             .select("x_id", "y_id")

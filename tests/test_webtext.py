@@ -61,6 +61,21 @@ def test_minhash_lsh_candidates(spark):
     assert est == 1.0  # identical text → identical signature
 
 
+def test_connected_components(spark):
+    """Pairs -> duplicate groups: chain (diameter 4, needs iterations),
+    a separate 2-clique, and symmetric input order."""
+    from anofox_forecast_spark.webtext.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (11, 10), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = dict(
+        connected_components(pairs).orderBy("id").toPandas().itertuples(index=False)
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_minhash_estimator_unbiased(spark):
     """est_jaccard ≈ true n-gram Jaccard for the r4 hash family (single
     xxhash64 + k affine permutations). Guards the rewrite: a biased
