@@ -8,12 +8,16 @@ Scale design:
   frequency cap (hot shingles are dropped from CANDIDATE GENERATION only,
   standard df-cap trick to bound the join fan-out) → per-pair intersection
   count → exact Jaccard via |A∩B|/(|A|+|B|−|A∩B|). All JVM-side.
-- MinHash: k independent min-hashes as k conditional aggregates over the
-  exploded shingles (min(xxhash64(shingle, seed_i))); LSH bands hash
-  signature slices; candidate pairs from band-bucket self-join; estimated
-  Jaccard = fraction of equal signature components.
-- SimHash: 64-bit bit-vote over token hashes inside an Arrow-batched
-  pandas UDF (numpy bit ops, no per-row Python at the Spark layer).
+- MinHash: shuffle-free signatures — words hashed once JVM-side
+  (xxhash64), shingle hashes formed as positional combos of word hashes
+  and k minima derived via k affine permutations, all in one Arrow-batched
+  numpy pass; LSH bands hash signature slices; candidate pairs from an
+  ids-only band-bucket self-join over the persisted signature table;
+  estimated Jaccard = fraction of equal signature components.
+- SimHash: JVM xxhash64 token hashes + one vectorized numpy bit-vote per
+  Arrow batch (no per-row or per-token Python anywhere).
+- Components: min-label propagation collapses any pair list into
+  canonical duplicate groups (one join + one groupBy per iteration).
 """
 
 from __future__ import annotations
@@ -333,14 +337,6 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), bitvote(hs_col).alias("simhash"))
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def _simhash_key_plan(max_hamming: int, min_key_bits: int = 14,
                       max_tables: int = 384, warn: bool = True) -> tuple[int, int]:
     """Pick (n_chunks m, combo size c) for the pigeonhole key tables.
@@ -476,17 +472,21 @@ def simhash_near_dups(
             .filter(F.col("__bn") <= max_bucket_freq)
             .drop("__bn")
         )
-    cand = (
+    # hamming filter BEFORE pair-dedup: the raw bucket join can emit tens
+    # of millions of candidate rows (16-bit keys at 1M docs ≈ 27M), and
+    # dropDuplicates is a full shuffle of them — filtering first keeps the
+    # join → filter inside one pipelined stage and shuffles only true
+    # near-dups (measured: the pre-filter dedup was the non-scaling part
+    # of the 2→8-core pair, eff 0.57)
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         keys.alias("a").join(keys.alias("b"), on=["table", "val"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("s_a"), F.col("b.simhash").alias("s_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
 
 
 def connected_components(
@@ -576,7 +576,6 @@ def embedding_near_dups(
     in tests (test_webtext), not asserted.
     """
     from anofox_forecast_spark.webtext.similarity import (
-        _cos_batch,
         _dot,
         _norm,
         hyperplane_buckets,
@@ -593,43 +592,31 @@ def embedding_near_dups(
         ).withColumn("nb", _norm(F.col("vb")))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        # buckets carry ids only; unique pairs dedup on two longs, then
-        # vectors join back once per pair (same shape as lsh_cosine_topk).
-        # The corpus is hashed ONCE and materialized — the self-join's two
-        # branches would otherwise each run the full signature pass
-        # (r4 lesson: unmaterialized subtrees re-execute per plan reference)
-        ab = hyperplane_buckets(emb, id_col, vec_col, "x", n_planes=n_planes,
-                                n_tables=n_tables, dim=dim, seed=seed).persist()
-        bb = ab.select(F.col("x_id").alias("y_id"), "bucket")
-        cand = (
-            ab.join(bb, on="bucket")
-            .select("x_id", "y_id")
-            .filter(F.col("x_id") < F.col("y_id"))
-            .dropDuplicates(["x_id", "y_id"])
-        )
-        va = emb.select(
-            F.col(id_col).alias("id_a"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("va"),
-        ).withColumn("na", _norm(F.col("va")))
-        vb = emb.select(
-            F.col(id_col).alias("id_b"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("vb"),
-        ).withColumn("nb", _norm(F.col("vb")))
-        pairs = (
-            cand.select(F.col("x_id").alias("id_a"), F.col("y_id").alias("id_b"))
-            .join(va, "id_a")
-            .join(vb, "id_b")
+        # IN-BUCKET scoring (r4): vectors shuffle once per bucket
+        # membership (n·tables rows) and each bucket's pairs are scored
+        # with one small normalized matmul inside mapInPandas — the r3
+        # shape (ids-only candidate join, vectors joined back per pair)
+        # moved 2×64 doubles per candidate and was memory-bandwidth bound
+        # (measured 1.3× from 2→8 cores on 22M candidates). No candidate
+        # materialization, no pair-join; only thresholded survivors are
+        # shuffled for cross-table dedup.
+        from anofox_forecast_spark.webtext.similarity import _inbucket_pair_scores
+
+        bucketed = hyperplane_buckets(
+            emb, id_col, vec_col, "x", n_planes=n_planes,
+            n_tables=n_tables, dim=dim, seed=seed, with_vec=True,
+        ).select(F.col("x_id").alias("id"), F.col("x_vec").alias("vec"), "bucket")
+        n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        scored = _inbucket_pair_scores(bucketed, threshold, n_parts)
+        return scored.select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
     else:
         raise ValueError(f"unknown method {method!r} (exact|lsh)")
 
-    if method == "exact":
-        # JVM fold: float accumulation order pinned to the DuckDB oracle's
-        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    else:
-        # rows-only scale path: Arrow-batched einsum (the interpreted
-        # aggregate fold dominates on large candidate sets)
-        cos = _cos_batch()(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    # exact path — JVM fold: float accumulation order pinned to the
+    # DuckDB oracle's
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -104,8 +104,8 @@ def lsh_cosine_topk(
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
     ``corpus_index`` — a prebuilt (persisted) corpus bucket table from
-    ``hyperplane_buckets(corpus, id_col, vec_col, "c", ...)`` with the
-    SAME plane parameters. Passing it skips re-hashing the corpus per
+    ``hyperplane_buckets(corpus, id_col, vec_col, "c", ..., with_vec=True)``
+    with the SAME plane parameters. Passing it skips re-hashing the corpus per
     call — the index is built once and amortized over query batches,
     which is the deployment shape at scale (bench.py times the two
     phases separately; VERDICT r3 "what's wrong" #3).
@@ -126,43 +126,78 @@ def lsh_cosine_topk(
     """
     from pyspark.sql import Window
 
-    # Buckets carry IDS ONLY: the pair-dedup shuffle moves two longs per
-    # candidate instead of two 64-double vectors (the vector-carrying
-    # first cut shuffled ~1 KB/candidate through dropDuplicates — measured
-    # dominant in bench.py's wx_ann stage). Vectors join back once per
-    # UNIQUE pair: corpus side co-partitioned on id, query side broadcast.
     cb = corpus_index if corpus_index is not None else hyperplane_buckets(
         corpus, id_col, vec_col, "c",
-        n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed)
+        n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed, with_vec=True)
+    if "c_vec" not in cb.columns:
+        raise ValueError("corpus_index must be built with with_vec=True "
+                         "(in-bucket scoring needs the vectors)")
     qb = hyperplane_buckets(queries, id_col, vec_col, "q",
                             n_planes=n_planes, n_tables=n_tables, dim=dim,
-                            seed=seed, probe=multiprobe)
-    cand = (
-        cb.join(qb, on="bucket")
-        .select("c_id", "q_id")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "c_id"])
+                            seed=seed, probe=multiprobe, with_vec=True)
+    # IN-BUCKET scoring (r4): queries meet corpus members inside their
+    # shared buckets and each bucket scores with one normalized matmul,
+    # emitting only its per-query top-k (global top-k ⊆ union of
+    # per-bucket top-k, so no recall is lost). The r3 shape joined the two
+    # 64-double vectors onto every candidate PAIR (~14M pairs for 256
+    # queries at 100k vecs → ~14 GB Arrow traffic, memory-bandwidth
+    # bound: measured 1.3× speedup from 2→8 cores); now vectors move once
+    # per bucket membership and the post-score shuffle is three scalars
+    # per surviving candidate.
+    both = cb.select(
+        F.col("c_id").alias("id"), F.col("c_vec").alias("vec"),
+        "bucket", F.lit(False).alias("is_q"),
+    ).unionByName(qb.select(
+        F.col("q_id").alias("id"), F.col("q_vec").alias("vec"),
+        "bucket", F.lit(True).alias("is_q"),
+    ))
+    kk = k
+
+    def score(batches):
+        for g in _iter_bucket_groups(batches):
+            qm = g["is_q"].to_numpy()
+            if not qm.any() or qm.all():
+                continue
+            qi = g.loc[qm, "id"].to_numpy()
+            ci = g.loc[~qm, "id"].to_numpy()
+            Q = np.array(g.loc[qm, "vec"].tolist(), dtype=np.float64)
+            C = np.array(g.loc[~qm, "vec"].tolist(), dtype=np.float64)
+            qn = np.sqrt((Q * Q).sum(axis=1)); qn[qn == 0] = 1.0
+            cn = np.sqrt((C * C).sum(axis=1)); cn[cn == 0] = 1.0
+            S = (Q / qn[:, None]) @ (C / cn[:, None]).T
+            out_q, out_c, out_s = [], [], []
+            for r in range(len(qi)):
+                mask = ci != qi[r]
+                if not mask.any():
+                    continue
+                cs, cids = S[r][mask], ci[mask]
+                order = np.lexsort((cids, -cs))[:kk]  # deterministic ties
+                out_q.append(np.full(order.size, qi[r]))
+                out_c.append(cids[order])
+                out_s.append(cs[order])
+            if out_q:
+                yield pd.DataFrame({
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                })
+
+    n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    rep = both.repartition(n_parts, "bucket").sortWithinPartitions("bucket")
+    scored = (
+        rep.mapInPandas(score, "q_id long, c_id long, cosine double")
+        .dropDuplicates(["q_id", "c_id"])  # same pair across tables: identical score
     )
-    cvec = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("c_v"),
-    ).withColumn("c_n", _norm(F.col("c_v")))
-    qvec = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("q_v"),
-    ).withColumn("q_n", _norm(F.col("q_v")))
-    cand = cand.join(cvec, "c_id").join(F.broadcast(qvec), "q_id")
-    cos = _cos_batch()(F.col("c_v"), F.col("q_v"), F.col("c_n"), F.col("q_n"))
-    scored = cand.select(
-        F.col("q_id").alias("query_id"),
-        F.col("c_id").alias("neighbor_id"),
-        cos.alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
     )
 
 
@@ -176,6 +211,7 @@ def hyperplane_buckets(
     dim: int = 64,
     seed: int = 42,
     probe: int = 0,
+    with_vec: bool = False,
 ) -> DataFrame:
     """One row per (vector, bucket): columns {prefix}_id, bucket
     ("table:signature"). IDS ONLY — callers join vectors back after
@@ -213,10 +249,80 @@ def hyperplane_buckets(
             out.append(bs)
         return pd.Series(out)
 
-    return df.select(
+    cols = [
         F.col(id_col).alias(f"{prefix}_id"),
         F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
-    )
+    ]
+    if with_vec:
+        # carried for IN-BUCKET scoring (one copy per bucket membership,
+        # NOT one per candidate pair — see _inbucket_pair_scores)
+        cols.insert(1, F.col(vec_col).alias(f"{prefix}_vec"))
+    return df.select(*cols)
+
+
+def _iter_bucket_groups(batches):
+    """Yield complete per-bucket pandas groups from a mapInPandas batch
+    iterator over a partition that is sorted by 'bucket'. The last bucket
+    of each Arrow batch may continue in the next batch, so it is carried
+    and prepended rather than emitted."""
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if len(pdf) == 0:
+            continue
+        last = pdf["bucket"].iloc[-1]
+        head = pdf[pdf["bucket"] != last]
+        carry = pdf[pdf["bucket"] == last]
+        for _, g in head.groupby("bucket", sort=False):
+            yield g
+    if carry is not None and len(carry):
+        yield carry
+
+
+def _inbucket_pair_scores(
+    bucketed: DataFrame, threshold: float, n_partitions: int
+) -> DataFrame:
+    """(bucket, id, vec) → (id_a, id_b, cosine) for all in-bucket pairs
+    with cosine ≥ threshold, id_a < id_b.
+
+    The 100-TB shape for LSH near-dup scoring: vectors shuffle ONCE PER
+    BUCKET MEMBERSHIP (n·tables rows) instead of once per candidate pair
+    — the r3 pair-join shape moved 2×64 doubles per candidate
+    (~22 GB / 22M candidates at 300k vecs, measured memory-bandwidth
+    bound: 1.3× speedup from 2→8 cores). Here each bucket's members are
+    scored with one small normalized matmul inside a carry-aware
+    mapInPandas (buckets sorted within hash-partitions; duplicate pairs
+    from different tables produce bit-identical cosines and collapse in
+    one dropDuplicates over the thresholded survivors only).
+    """
+    import numpy as np
+
+    thr = threshold
+
+    def score(batches):
+        for g in _iter_bucket_groups(batches):
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g["id"].to_numpy()
+            V = np.array(g["vec"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            G = (V / nrm[:, None]) @ (V / nrm[:, None]).T
+            iu, ju = np.triu_indices(n, k=1)
+            c = G[iu, ju]
+            m = c >= thr
+            if not m.any():
+                continue
+            a, b = ids[iu[m]], ids[ju[m]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": c[m]})
+
+    rep = bucketed.repartition(n_partitions, "bucket").sortWithinPartitions("bucket")
+    out = rep.mapInPandas(score, "id_a long, id_b long, cosine double")
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def _spherical_kmeans(vecs: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:

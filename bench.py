@@ -180,7 +180,7 @@ def main() -> None:
     # index build and probe timed SEPARATELY (VERDICT r3 "what's wrong" #3:
     # end-to-end timing re-hashed the corpus per call and read as 30 q/s)
     ann_idx = hyperplane_buckets(
-        emb_c, "vec_id", "embedding", "c", n_planes=8, n_tables=16
+        emb_c, "vec_id", "embedding", "c", n_planes=8, n_tables=16, with_vec=True
     ).persist()
     wtimed("wx_ann_index_build", ann_idx.count)
     wtimed("wx_ann_lsh_topk", lambda: lsh_cosine_topk(

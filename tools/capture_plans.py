@@ -167,6 +167,21 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in plan11, "IVF must not cross-join"
 
+    # 12. MinHash signatures (r4 rewrite): ZERO shuffles — one codegen
+    # projection (word split + per-word xxhash64) feeding one Arrow-batched
+    # UDF; no explode, no groupBy (the r1-r3 version shuffled per doc)
+    from anofox_forecast_spark.webtext.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=32)
+    plan12 = grab(sig)
+    sections.append((
+        "MinHash signatures (shuffle-free: JVM word hashes → one Arrow UDF pass)",
+        plan12,
+        ["ArrowEvalPython", "WholeStageCodegen"],
+    ))
+    assert "Exchange" not in plan12, "minhash signatures must not shuffle"
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
