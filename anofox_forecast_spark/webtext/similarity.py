@@ -124,7 +124,6 @@ def lsh_cosine_topk(
     0.86 there and ≥0.9 on clustered embeddings
     (tests/test_webtext.py::test_lsh_measured_recall).
     """
-    from pyspark.sql import Window
 
     cb = corpus_index if corpus_index is not None else hyperplane_buckets(
         corpus, id_col, vec_col, "c",
@@ -151,6 +150,24 @@ def lsh_cosine_topk(
         F.col("q_id").alias("id"), F.col("q_vec").alias("vec"),
         "bucket", F.lit(True).alias("is_q"),
     ))
+    n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return _inbucket_topk(both, k, n_parts)
+
+
+def _inbucket_topk(both: DataFrame, k: int, n_partitions: int) -> DataFrame:
+    """(bucket, id, vec, is_q) → global top-k per query.
+
+    Each bucket scores its queries against its corpus members with one
+    normalized float64 matmul and emits only its per-query top-k
+    (deterministic tie-break: cosine desc, id asc) — the global top-k is
+    a subset of the union of per-bucket top-k, so no recall is lost.
+    Duplicate (q, c) pairs from different buckets carry bit-identical
+    cosines and collapse in one dropDuplicates before the final window.
+    Shared by hyperplane-LSH (bucket = table:signature) and IVF
+    (bucket = cell id).
+    """
+    from pyspark.sql import Window
+
     kk = k
 
     def score(batches):
@@ -182,11 +199,10 @@ def lsh_cosine_topk(
                     "cosine": np.concatenate(out_s),
                 })
 
-    n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    rep = both.repartition(n_parts, "bucket").sortWithinPartitions("bucket")
+    rep = both.repartition(n_partitions, "bucket").sortWithinPartitions("bucket")
     scored = (
         rep.mapInPandas(score, "q_id long, c_id long, cosine double")
-        .dropDuplicates(["q_id", "c_id"])  # same pair across tables: identical score
+        .dropDuplicates(["q_id", "c_id"])  # same pair across buckets: identical score
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -373,7 +389,6 @@ def ivf_cosine_topk(
     on cell id, so fan-out per query ≈ n_probe·n/n_cells rows instead of
     n. Grow n_cells ∝ √n (IVF heuristic) to keep cells bounded.
     """
-    from pyspark.sql import Window
 
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -397,28 +412,21 @@ def ivf_cosine_topk(
         top = np.argsort(-(m @ cent.T), axis=1)[:, :n_probe_eff].astype("int32")
         return pd.Series(list(top))
 
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
-            cell_of(F.col(vec_col)).alias("cell"),
-        )
-        .withColumn("cn", _norm(F.col("cv")))
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
-            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
-        )
-        .withColumn("qn", _norm(F.col("qv")))
-    )
-    cand = c.join(q, on="cell").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _cos_batch()(F.col("cv"), F.col("qv"), F.col("cn"), F.col("qn"))
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    # IN-CELL scoring via the shared bucket scorer (r4): the cell equi-join
+    # previously carried both 64-double vectors onto every candidate pair
+    # (n_probe/n_cells · n per query ⇒ GBs of Arrow traffic, bandwidth
+    # bound); now vectors move once per cell membership and each cell emits
+    # its per-query top-k.
+    both = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        cell_of(F.col(vec_col)).alias("bucket"),
+        F.lit(False).alias("is_q"),
+    ).unionByName(queries.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("bucket"),
+        F.lit(True).alias("is_q"),
+    ))
+    n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return _inbucket_topk(both, k, n_parts)

@@ -61,6 +61,29 @@ def test_minhash_lsh_candidates(spark):
     assert est == 1.0  # identical text → identical signature
 
 
+def test_iter_bucket_groups_carry():
+    """Bucket groups spanning Arrow-batch boundaries must be reassembled,
+    not split (the in-bucket scorer's correctness hinges on this)."""
+    import pandas as pd
+
+    from anofox_forecast_spark.webtext.similarity import _iter_bucket_groups
+
+    b1 = pd.DataFrame({"bucket": ["a", "a", "b"], "id": [1, 2, 3]})
+    b2 = pd.DataFrame({"bucket": ["b", "b", "c"], "id": [4, 5, 6]})
+    b3 = pd.DataFrame({"bucket": ["c"], "id": [7]})
+    groups = {g["bucket"].iloc[0]: sorted(g["id"]) for g in _iter_bucket_groups(iter([b1, b2, b3]))}
+    assert groups == {"a": [1, 2], "b": [3, 4, 5], "c": [6, 7]}
+    # single-bucket partition entirely in carry
+    groups2 = [sorted(g["id"]) for g in _iter_bucket_groups(iter([
+        pd.DataFrame({"bucket": ["z", "z"], "id": [1, 2]}),
+        pd.DataFrame({"bucket": ["z"], "id": [3]}),
+    ]))]
+    assert groups2 == [[1, 2, 3]]
+    # empty iterator / empty frames
+    assert list(_iter_bucket_groups(iter([]))) == []
+    assert list(_iter_bucket_groups(iter([pd.DataFrame({"bucket": [], "id": []})]))) == []
+
+
 def test_connected_components(spark):
     """Pairs -> duplicate groups: chain (diameter 4, needs iterations),
     a separate 2-clique, and symmetric input order."""
