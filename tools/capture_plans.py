@@ -139,19 +139,21 @@ def main() -> None:
         ["MapInPandas", "Exchange", "Sort"],
     ))
 
-    # 10. embedding near-dup LSH path: candidates from a bucket EQUI-join
-    # (SortMergeJoin/ShuffledHashJoin on `bucket`), never a cartesian
+    # 10. embedding near-dup LSH path (r4 in-bucket scoring): ONE
+    # bucket-hash exchange -> sort -> MapInPandas; no pair join at all —
+    # vectors move once per bucket membership, never once per candidate
     from anofox_forecast_spark.webtext.dedup import embedding_near_dups
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     nd = embedding_near_dups(emb, threshold=0.8, method="lsh")
     plan10 = grab(nd)
     sections.append((
-        "Embedding near-dup LSH (bucket equi-join bounds candidates; no cartesian)",
+        "Embedding near-dup LSH (in-bucket scoring: exchange->sort->MapInPandas, no pair join)",
         plan10,
-        ["Join", "bucket"],
+        ["MapInPandas", "bucket"],
     ))
     assert "CartesianProduct" not in plan10, "LSH dedup must not cross-join"
+    assert "Join" not in plan10, "in-bucket scoring must not pair-join vectors"
 
     # 11. IVF ANN: Arrow-batched cell assignment (ArrowEvalPython), then a
     # cell equi-join — candidate fan-out bounded by n_probe·n/n_cells
@@ -161,11 +163,12 @@ def main() -> None:
                           n_cells=16, n_probe=4)
     plan11 = grab(ivf)
     sections.append((
-        "IVF ANN (ArrowEvalPython cell assignment + cell equi-join)",
+        "IVF ANN (ArrowEvalPython cell assignment + in-cell MapInPandas top-k)",
         plan11,
-        ["ArrowEvalPython", "Join", "cell"],
+        ["ArrowEvalPython", "MapInPandas"],
     ))
     assert "CartesianProduct" not in plan11, "IVF must not cross-join"
+    assert "Join" not in plan11, "in-cell scoring must not pair-join vectors"
 
     # 12. MinHash signatures (r4 rewrite): ZERO shuffles — one codegen
     # projection (word split + per-word xxhash64) feeding one Arrow-batched
@@ -178,9 +181,13 @@ def main() -> None:
     sections.append((
         "MinHash signatures (shuffle-free: JVM word hashes → one Arrow UDF pass)",
         plan12,
-        ["ArrowEvalPython", "WholeStageCodegen"],
+        ["ArrowEvalPython", "codegen id"],
     ))
     assert "Exchange" not in plan12, "minhash signatures must not shuffle"
+    # tree form "ArrowEvalPython (N" appears once per plan NODE (the detail
+    # block repeats the name as "(N) ArrowEvalPython", not counted here)
+    assert plan12.count("ArrowEvalPython (") == 1, (
+        "sig UDF must run exactly once (projection collapse duplicated it pre-r4)")
 
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
