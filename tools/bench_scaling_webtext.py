@@ -120,6 +120,8 @@ def main() -> None:
         f"{big['minhash_docs_per_sec']:,} @4N",
         f"- raw efficiency vs ideal 4x: {round(overall_eff, 3)} "
         f"({'MET' if overall_eff >= 0.8 else 'NOT MET'} vs the 0.8 target)",
+        "- (stages of only a few seconds are fixed-overhead-bound — driver-side"
+        " setup/quantizer time — and do not gate the total)",
         "",
         "## Machine ceiling (Spark-free probes, same run)",
         "",
