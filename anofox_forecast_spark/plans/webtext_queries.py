@@ -240,6 +240,76 @@ def sql_dedup_ngram_jaccard():
     """
 
 
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub (emails / dotted-quad IPs / phone-like digit runs →
+    typed placeholders + per-kind counts) — standard pre-training
+    redaction pass. Oracle: same patterns/order in DuckDB RE2 (patterns
+    restricted to the Java∩RE2-identical subset)."""
+    from anofox_forecast_spark.webtext.text_stats import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "text_redacted", "n_email", "n_ipv4", "n_phone"
+    )
+
+
+def sql_text_redact_pii():
+    from anofox_forecast_spark.webtext.text_stats import PII_PATTERNS
+
+    email, ipv4, phone = (p for _, p, _ in PII_PATTERNS)
+    toks = {k: t for k, _, t in PII_PATTERNS}
+    return f"""
+        WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{email}')) AS n_email,
+                   regexp_replace(t, '{email}', '{toks["email"]}', 'g') AS t
+            FROM s0
+        ), s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4,
+                   regexp_replace(t, '{ipv4}', '{toks["ipv4"]}', 'g') AS t
+            FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t, '{phone}', '{toks["phone"]}', 'g') AS text_redacted,
+               CAST(n_email AS INT) AS n_email,
+               CAST(n_ipv4 AS INT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t, '{phone}')) AS INT) AS n_phone
+        FROM s2
+    """
+
+
+def q_text_term_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (doc-freq, term-freq, smoothed idf)
+    over lowercase word tokens — the standard TF-IDF vocabulary pass."""
+    from anofox_forecast_spark.webtext.text_stats import term_stats
+
+    return term_stats(_docs(spark, sf_dir), "doc_id", "text", min_df=5).select(
+        "term", "doc_freq", "term_freq", "idf"
+    )
+
+
+def sql_text_term_stats():
+    # same tokenization as the Spark _tokens (unicode word regex → split),
+    # ln((N+1)/(df+1)) + 1 with the same op order, 6dp round
+    return r"""
+        WITH toks AS (
+            SELECT doc_id, u.term
+            FROM documents,
+                 UNNEST(string_split_regex(
+                     trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                     ' +')) AS u(term)
+            WHERE u.term <> ''
+        ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT term,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+               CAST(count(*) AS BIGINT) AS term_freq,
+               round(ln(((SELECT n_docs FROM n) + 1.0) /
+                        (count(DISTINCT doc_id) + 1.0)) + 1.0, 6) AS idf
+        FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 5
+    """
+
+
 def q_dedup_components(spark, sf_dir):
     """Duplicate GROUPS from near-dup pairs: min-label connected components
     over the (oracled) n-gram Jaccard pair graph — the collapse step a
@@ -347,6 +417,8 @@ def build_queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_fingerprint": q_text_fingerprint,
         "dedup_components": q_dedup_components,
+        "text_redact_pii": q_text_redact_pii,
+        "text_term_stats": q_text_term_stats,
     }
 
 
@@ -360,6 +432,8 @@ def build_oracle_sql():
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_embedding": sql_dedup_embedding(),
         "dedup_components": sql_dedup_components(),
+        "text_redact_pii": sql_text_redact_pii(),
+        "text_term_stats": sql_text_term_stats(),
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →
         # rows-only driver check (cross-engine hash functions / k-means
         # quantizer differ)

@@ -161,3 +161,63 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 8) -> D
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     hs_col = F.transform(toks, lambda t: F.xxhash64(t))
     return df.select(F.col(id_col).alias("id"), fp(hs_col).alias("fingerprint"))
+
+
+# (pattern, token) in APPLICATION ORDER — ipv4 before phone so the phone
+# pattern can't eat dotted-quad fragments; the same order is pinned in the
+# DuckDB oracle. Patterns restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Training-data PII scrub: (id, text_redacted, n_email, n_ipv4,
+    n_phone). Emails, dotted-quad IPs and phone-like digit runs are
+    replaced by typed placeholder tokens, counts reported per kind —
+    the standard pre-training redaction pass, pure JVM SQL (regexp_count
+    + chained regexp_replace, whole-stage codegen; no reference
+    counterpart, driver-prompt pipeline operator)."""
+    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # counts are taken on the progressively-redacted text, in the same
+    # order as the replacements, so kinds never double-count the same
+    # characters (order pinned identically in the DuckDB oracle)
+    for kind, pat, tok in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count("__t", F.lit(pat)))
+        out = out.withColumn("__t", F.regexp_replace("__t", pat, tok))
+    return out.select(
+        "id", F.col("__t").alias("text_redacted"), "n_email", "n_ipv4", "n_phone"
+    )
+
+
+def term_stats(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 2
+) -> DataFrame:
+    """Corpus term statistics: (term, doc_freq, term_freq, idf) over
+    distinct-per-doc lowercase word tokens. idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style). doc_freq counts documents containing the
+    term; term_freq counts total occurrences. One explode + one hash
+    aggregate — the standard corpus-vocabulary pass at any scale."""
+    n_docs = df.count()  # bounded control-plane read (one scalar)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_remove(_tokens(F.col(text_col)), "")).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("id").alias("doc_freq"),
+            F.count("*").alias("term_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0,
+                6,
+            ),
+        )
+    )

@@ -61,6 +61,48 @@ def test_minhash_lsh_candidates(spark):
     assert est == 1.0  # identical text → identical signature
 
 
+def test_redact_pii(spark):
+    from anofox_forecast_spark.webtext.text_stats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at jane.doe+x@example.co.uk or 192.168.0.1 now"),
+            (1, "call +1 555 123 4567 or 555-123-4567 today"),
+            (2, "plain text with no pii at all"),
+            (3, "two mails a@b.io c@d.org and ip 10.0.0.255"),
+        ],
+        "doc_id long, text string",
+    )
+    out = redact_pii(df, "doc_id", "text").toPandas().set_index("id")
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_ipv4"] == 1
+    assert "<EMAIL>" in out.loc[0, "text_redacted"]
+    assert "<IP>" in out.loc[0, "text_redacted"]
+    assert "jane.doe" not in out.loc[0, "text_redacted"]
+    assert out.loc[1, "n_phone"] == 2
+    assert "<PHONE>" in out.loc[1, "text_redacted"]
+    assert "4567" not in out.loc[1, "text_redacted"]
+    assert out.loc[2, "text_redacted"] == "plain text with no pii at all"
+    assert int(out.loc[2, ["n_email", "n_ipv4", "n_phone"]].sum()) == 0
+    assert out.loc[3, "n_email"] == 2 and out.loc[3, "n_ipv4"] == 1
+    # IPs must be consumed by the ipv4 pass, never the phone pass
+    assert out.loc[3, "n_phone"] == 0
+
+
+def test_term_stats(spark):
+    from anofox_forecast_spark.webtext.text_stats import term_stats
+
+    out = term_stats(_docs(spark), "doc_id", "text", min_df=2).toPandas()
+    stats = out.set_index("term")
+    # "the" appears in docs 0,1,3 (twice each); df=3, tf=6
+    assert stats.loc["the", "doc_freq"] == 3
+    assert stats.loc["the", "term_freq"] == 6
+    # idf = ln((5+1)/(3+1)) + 1
+    import math
+
+    assert abs(stats.loc["the", "idf"] - round(math.log(6 / 4) + 1, 6)) < 1e-9
+    assert (out.doc_freq >= 2).all()
+
+
 def test_iter_bucket_groups_carry():
     """Bucket groups spanning Arrow-batch boundaries must be reassembled,
     not split (the in-bucket scorer's correctness hinges on this)."""
