@@ -928,6 +928,46 @@ def sql_forecast_adida_1d():
     )
 
 
+def q_asof_join_1h(spark, sf_dir):
+    """As-of join (backward, inclusive): attach to every HOURLY point the
+    most recent qualifying DAILY aggregate at-or-before it (daily rows
+    kept only when n ≥ 40, so the carried value often comes from an
+    earlier day and the window LOCF is genuinely exercised, ties
+    included). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from anofox_forecast_spark.core.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", bucket_col("ts", "1h").alias("bucket_start")
+    ).agg(F.count("*").cast("double").alias("y_h"))
+    daily = (
+        ev.groupBy("event_type", bucket_col("ts", "1d").alias("bucket_start"))
+        .agg(F.count("*").cast("double").alias("y_d"))
+        .filter(F.col("y_d") >= 40)
+    )
+    out = asof_join(hourly, daily, ["event_type"], "bucket_start", ["y_d"])
+    return out.select("event_type", "bucket_start", "y_h", "y_d_asof")
+
+
+def sql_asof_join_1h():
+    bh = _duck_bucket("ts", 3600)
+    bd = _duck_bucket("ts", 86400)
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, {bh} AS bucket_start,
+                   CAST(count(*) AS DOUBLE) AS y_h
+            FROM events GROUP BY 1, 2
+        ), daily AS (
+            SELECT event_type, {bd} AS bucket_start,
+                   CAST(count(*) AS DOUBLE) AS y_d
+            FROM events GROUP BY 1, 2 HAVING count(*) >= 40
+        )
+        SELECT h.event_type, h.bucket_start, h.y_h, d.y_d AS y_d_asof
+        FROM hourly h ASOF LEFT JOIN daily d
+          ON h.event_type = d.event_type AND h.bucket_start >= d.bucket_start
+    """
+
+
 _HOLIDAYS_2024 = ["2024-01-01", "2024-01-15", "2024-02-19"]  # in events range
 
 
@@ -1260,6 +1300,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_croston_1d": q_forecast_croston_1d,
         "forecast_tsb_1d": q_forecast_tsb_1d,
         "forecast_adida_1d": q_forecast_adida_1d,
+        "asof_join_1h": q_asof_join_1h,
         "stl_decompose_1d": q_stl_decompose_1d,
         "changepoint_pelt_1d": q_changepoint_pelt_1d,
         "cross_validation_1d": q_cross_validation_1d,
@@ -1299,6 +1340,7 @@ def build_oracle_sql() -> dict[str, str]:
         "forecast_croston_1d": sql_forecast_croston_1d(),
         "forecast_tsb_1d": sql_forecast_tsb_1d(),
         "forecast_adida_1d": sql_forecast_adida_1d(),
+        "asof_join_1h": sql_asof_join_1h(),
         "ewm_1d": sql_ewm_1d(),
         "cross_validation_1d": sql_cross_validation_1d(),
         "gapfill_dense_1h": sql_gapfill_locf_1h(),  # fused == unfused chain

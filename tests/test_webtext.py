@@ -557,3 +557,26 @@ def test_ngram_jaccard_oracle_agrees_on_unicode(spark):
     assert got[["id_a", "id_b"]].values.tolist() == want[["id_a", "id_b"]].values.tolist()
     assert (got["jaccard"].round(6) == want["jaccard"].round(6)).all()
     assert len(got) >= 1  # the accented near-dup pair must survive both sides
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: ties match, gaps carry the latest earlier
+    value, leading rows with no preceding right row get NULL."""
+    from anofox_forecast_spark.core.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 5, 11.0), ("a", 7, 12.0), ("b", 3, 20.0)],
+        "k string, bucket_start long, y double",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 100.0), ("a", 2, 99.0), ("b", 4, 200.0)],
+        "k string, bucket_start long, v double",
+    )
+    out = {
+        (r.k, r.bucket_start): r.v_asof
+        for r in asof_join(left, right, ["k"], "bucket_start", ["v"]).collect()
+    }
+    assert out[("a", 1)] is None        # nothing at-or-before ts=1
+    assert out[("a", 5)] == 100.0       # tie (right ts == left ts) matches
+    assert out[("a", 7)] == 100.0       # carries forward past the gap
+    assert out[("b", 3)] is None        # right row at ts=4 is in the future
