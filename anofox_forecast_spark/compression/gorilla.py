@@ -349,6 +349,9 @@ else:
 #: r1's seconds (ADVICE r2); the header makes the unit self-describing so a
 #: persisted blob can never decode under the wrong epoch scale again.
 _BLOB_MAGIC = b"GORv"
+#: value blobs written with codec="chimp" carry this magic instead; the
+#: decoder dispatches on it, so mixed-codec chunk tables decode fine
+_CHIMP_MAGIC = b"CHMv"
 _UNIT_CODES = {"us": b"u", "s": b"s"}
 _UNIT_NAMES = {v: k for k, v in _UNIT_CODES.items()}
 
@@ -359,8 +362,9 @@ def _wrap_blob(raw: bytes, unit: str = "us") -> bytes:
 
 def _unwrap_blob(blob: bytes) -> tuple[bytes, str]:
     """Strip and validate the header; reject pre-header (≤r2) blobs loudly
-    rather than decoding them to epoch-1970 garbage."""
-    if len(blob) >= 5 and blob[:4] == _BLOB_MAGIC:
+    rather than decoding them to epoch-1970 garbage. Returns (raw, unit);
+    for codec dispatch use :func:`_blob_codec` on the intact blob first."""
+    if len(blob) >= 5 and blob[:4] in (_BLOB_MAGIC, _CHIMP_MAGIC):
         unit = _UNIT_NAMES.get(blob[4:5])
         if unit is None:
             raise ValueError(f"unknown gorilla blob unit byte {blob[4:5]!r}")
@@ -371,19 +375,30 @@ def _unwrap_blob(blob: bytes) -> tuple[bytes, str]:
     )
 
 
+def _blob_codec(blob: bytes) -> str:
+    return "chimp" if blob[:4] == _CHIMP_MAGIC else "gorilla"
+
+
 def compress_chunks(
     df,
     keys: Sequence[str],
     ts_col: str,
     value_col: str,
     chunk_freq: str = "7d",
+    codec: str = "gorilla",
 ):
-    """Per-(series, chunk) Gorilla blobs: one row per chunk.
+    """Per-(series, chunk) compressed blobs: one row per chunk.
 
     Output: (keys…, chunk_start: timestamp, n_points: int,
     ts_blob: binary, val_blob: binary). Chunking bounds both blob size and
     UDF memory; chunk_start comes from the same epoch-floor bucketing as the
     rollup tiers, so chunks align with tier partitions.
+
+    ``codec``: "gorilla" (XOR, ref parity) or "chimp" (VLDB'22 successor,
+    compression/chimp.py — typically ~8-10% smaller value blobs on count
+    series, measured in tests). Value blobs are tagged (GORv/CHMv) so
+    ``decompress_chunks`` dispatches per blob and mixed tables decode.
+    Timestamps use delta-of-delta in both.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
@@ -405,6 +420,17 @@ def compress_chunks(
          StructField("ts_blob", BinaryType()),
          StructField("val_blob", BinaryType())]
     )
+
+    if codec == "chimp":
+        from anofox_forecast_spark.compression.chimp import encode_values_chimp
+
+        enc_values = encode_values_chimp
+        val_magic = _CHIMP_MAGIC
+    elif codec == "gorilla":
+        enc_values = default_encode_values
+        val_magic = _BLOB_MAGIC
+    else:
+        raise ValueError(f"unknown codec {codec!r} (gorilla|chimp)")
 
     chunked = df.withColumn("__chunk", bucket_col(ts_col, chunk_freq))
 
@@ -428,7 +454,9 @@ def compress_chunks(
             out["chunk_start"].append([seg_chunk])
             out["n_points"].append([np.int32(seg_ts.size)])
             out["ts_blob"].append([_wrap_blob(default_encode_timestamps(seg_ts))])
-            out["val_blob"].append([_wrap_blob(default_encode_values(seg_vals))])
+            out["val_blob"].append(
+                [val_magic + _UNIT_CODES["us"] + enc_values(seg_vals)]
+            )
 
     from anofox_forecast_spark.models.harness import batched_series_apply
 
@@ -461,9 +489,17 @@ def decompress_chunks(df, keys: Sequence[str]):
         for _, r in pdf.iterrows():
             n = int(r["n_points"])
             ts_raw, unit = _unwrap_blob(bytes(r["ts_blob"]))
-            val_raw, _ = _unwrap_blob(bytes(r["val_blob"]))
+            val_blob = bytes(r["val_blob"])
+            val_raw, _ = _unwrap_blob(val_blob)
             ts = decode_timestamps(ts_raw, n)
-            vals = decode_values(val_raw, n)
+            if _blob_codec(val_blob) == "chimp":
+                from anofox_forecast_spark.compression.chimp import (
+                    decode_values_chimp,
+                )
+
+                vals = decode_values_chimp(val_raw, n)
+            else:
+                vals = decode_values(val_raw, n)
             frames.append(
                 pd.DataFrame(
                     {

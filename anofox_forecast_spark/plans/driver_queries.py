@@ -1274,6 +1274,32 @@ def sql_compress_roundtrip_7d():
     )
 
 
+
+
+def q_compress_chimp_7d(spark, sf_dir):
+    """Chimp (VLDB'22) round-trip as a driver query — same identity oracle
+    as the Gorilla one: compress the hourly count series with the chimp
+    value codec and decode it back (beyond-reference codec,
+    compression/chimp.py)."""
+    from anofox_forecast_spark.compression.gorilla import (
+        compress_chunks,
+        decompress_chunks,
+    )
+
+    series = _hourly_counts(spark, sf_dir).withColumn(
+        "value", F.col("n_events").cast("double")
+    ).drop("n_events")
+    chunks = compress_chunks(series, ["event_type"], "bucket_start", "value",
+                             chunk_freq="7d", codec="chimp")
+    out = decompress_chunks(chunks, ["event_type"])
+    return out.select("event_type", F.col("ts").alias("bucket_start"),
+                      F.round("value", 6).alias("value"))
+
+
+def sql_compress_chimp_7d():
+    return sql_compress_roundtrip_7d()
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tier_rollup_1h": q_tier_rollup_1h,
@@ -1310,6 +1336,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ets_theta_1d": q_forecast_ets_theta_1d,
         "gapfill_dense_1h": q_gapfill_dense_1h,
         "compress_roundtrip_7d": q_compress_roundtrip_7d,
+        "compress_chimp_7d": q_compress_chimp_7d,
         "features_stat_1d": q_features_stat_1d,
     }
 
@@ -1345,6 +1372,7 @@ def build_oracle_sql() -> dict[str, str]:
         "cross_validation_1d": sql_cross_validation_1d(),
         "gapfill_dense_1h": sql_gapfill_locf_1h(),  # fused == unfused chain
         "compress_roundtrip_7d": sql_compress_roundtrip_7d(),
+        "compress_chimp_7d": sql_compress_chimp_7d(),
         "features_stat_1d": sql_features_stat_1d(),
         # stl/pelt/bootstrap/features/ets-theta: per-series kernels,
         # not ANSI-SQL-expressible → rows-only driver check by design

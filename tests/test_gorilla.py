@@ -168,3 +168,75 @@ def test_compress_chunks_subsecond_roundtrip(spark):
     back = decompress_chunks(blobs, ["sid"]).orderBy("ts").collect()
     assert [r.ts for r in back] == [r[1] for r in rows]
     assert [r.value for r in back] == [r[2] for r in rows]
+
+
+# ---------------------------------------------------------------- chimp r4
+
+def test_chimp_roundtrip_property():
+    """Chimp (VLDB'22) value codec: bit-exact roundtrip on every shape —
+    constants, counts, walks, specials (NaN/Inf/-0.0), noise."""
+    import numpy as np
+
+    from anofox_forecast_spark.compression.chimp import (
+        decode_values_chimp,
+        encode_values_chimp,
+    )
+
+    rng = np.random.default_rng(0)
+    cases = [
+        np.array([], dtype=np.float64),
+        np.array([3.14]),
+        np.full(1000, 42.5),
+        rng.integers(0, 500, 5000).astype(np.float64),
+        np.cumsum(rng.normal(0, 1, 5000)),
+        np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308, 1.7e308, 1.0]),
+        rng.random(2000),
+    ]
+    for v in cases:
+        back = decode_values_chimp(encode_values_chimp(v), v.size)
+        assert back.size == v.size
+        if v.size:
+            np.testing.assert_array_equal(v.view(np.uint64), back.view(np.uint64))
+
+
+def test_chimp_smaller_than_gorilla_on_counts():
+    """The headline claim, measured: chimp value blobs beat gorilla on
+    count-like and random-walk series (not on pure constants, where
+    gorilla's 1-bit repeat flag wins — documented tradeoff)."""
+    import numpy as np
+
+    from anofox_forecast_spark.compression.chimp import encode_values_chimp
+    from anofox_forecast_spark.compression.gorilla import encode_values_packed
+
+    rng = np.random.default_rng(1)
+    counts = rng.integers(0, 500, 5000).astype(np.float64)
+    walk = np.cumsum(rng.normal(0, 1, 5000))
+    assert len(encode_values_chimp(counts)) < len(encode_values_packed(counts))
+    assert len(encode_values_chimp(walk)) < len(encode_values_packed(walk))
+
+
+def test_chimp_chunks_roundtrip(spark):
+    """compress_chunks(codec='chimp') → decompress_chunks is the identity
+    (decoder dispatches on the CHMv blob magic; mixed tables decode)."""
+    import pandas as pd
+
+    from anofox_forecast_spark.compression.gorilla import (
+        compress_chunks,
+        decompress_chunks,
+    )
+
+    rows = []
+    ts = pd.date_range("2024-01-01", periods=500, freq="h")
+    for s in ("a", "b"):
+        for i, t in enumerate(ts):
+            rows.append((s, t.to_pydatetime(), float((i * 7 + len(s)) % 97)))
+    df = spark.createDataFrame(rows, "sid string, ts timestamp, value double")
+    chunks = compress_chunks(df, ["sid"], "ts", "value", chunk_freq="7d",
+                             codec="chimp")
+    assert chunks.count() == 2 * 4  # 500h spans 4 7d-buckets per series
+    back = decompress_chunks(chunks, ["sid"]).toPandas()
+    orig = df.toPandas()
+    merged = orig.merge(back, left_on=["sid", "ts"], right_on=["sid", "ts"],
+                        suffixes=("", "_rt"))
+    assert len(merged) == len(orig)
+    assert (merged["value"] == merged["value_rt"]).all()
