@@ -281,6 +281,16 @@ def ensemble(
                 f"custom weights length ({0 if weights is None else len(weights)}) "
                 f"doesn't match model count ({len(models)})"
             )
+        # w / w.sum() with sum <= 0 (e.g. [1, -1]) or non-finite entries
+        # would silently produce NaN forecasts (ADVICE r4; the ref shares
+        # the gap — model.rs:184-186 — but weighted_mse here already
+        # guards sum > 0, so custom does too)
+        wchk = np.asarray(weights, dtype=np.float64)
+        if not np.all(np.isfinite(wchk)) or wchk.sum() <= 0:
+            raise ValueError(
+                "custom weights must be finite with a positive sum "
+                f"(got sum={wchk.sum()!r})"
+            )
     results = []
     for name in models:
         try:

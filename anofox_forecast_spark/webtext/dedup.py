@@ -138,8 +138,11 @@ def minhash_signatures(
       JVM-side (``sequence``+``slice``+``concat_ws``+``array_distinct``)
       — string construction, not hashing, was the bottleneck.
     * Final design: never materialize shingle strings. JVM side hashes
-      WORDS (``transform(split(lower(text)), xxhash64)`` — one cheap
-      codegen pass); the Arrow-batched UDF forms each word-n-gram's hash
+      WORDS from the same punctuation-stripping ``_words()`` tokenizer as
+      ``shingles()`` (lowercase, non-alphanumerics → space, split on
+      space runs — NOT a bare whitespace split; simhash/fingerprint use
+      the bare split) — one cheap codegen pass of per-word ``xxhash64``;
+      the Arrow-batched UDF forms each word-n-gram's hash
       as a positional linear combination of its n word hashes
       ``Σ_j c_j·w_{i+j} (mod 2^64)`` (odd random c_j — injective whp,
       order-sensitive like the string n-gram), then derives the k minima
@@ -241,9 +244,15 @@ def minhash_lsh_candidates(
     # Materialize signatures ONCE: the band self-join references the sig
     # subtree on both sides, and Spark re-executes unmaterialized subtrees
     # per reference (measured: the whole corpus pass ran twice, doubling
-    # the stage). At cluster scale you'd write signatures to a table
-    # between the passes; locally persist() is the same design.
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed).persist()
+    # the stage). localCheckpoint (eager) rather than persist() (ADVICE
+    # r4): persist() registers in the CacheManager and the entry outlived
+    # the call — repeated calls in a long session accumulated cached
+    # tables until LRU eviction. A local checkpoint materializes the same
+    # blocks but is NOT catalog-tracked: the ContextCleaner frees them as
+    # soon as the result (and its lineage) is garbage-collected. At
+    # cluster scale you'd write signatures to a table between the passes.
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed
+                             ).localCheckpoint()
     banded = sig.select(
         "id",
         F.explode(
@@ -455,8 +464,10 @@ def simhash_near_dups(
 
     # materialize signatures once: the key table is self-joined (and
     # optionally window-counted), and unmaterialized subtrees re-execute
-    # per plan reference — same fix as minhash_lsh_candidates
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    # per plan reference — same eager localCheckpoint as
+    # minhash_lsh_candidates (catalog-free, ContextCleaner-released;
+    # ADVICE r4 flagged the never-unpersisted persist() here)
+    sig = simhash_signatures(df, id_col, text_col).localCheckpoint()
     keys = (
         sig.withColumn(
             "chks",
@@ -524,37 +535,44 @@ def connected_components(
     edges = pairs.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))).persist()
-    labels = (
-        edges.select(F.col("s").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iters):
-        propagated = (
-            edges.join(labels.withColumnRenamed("id", "s"), "s")
-            .select(F.col("d").alias("id"), "label")
-        )
-        new_labels = (
-            labels.unionByName(propagated)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+    # try/finally so the edge cache is released on EVERY exit path —
+    # including the non-convergence raise (ADVICE r4: the error path
+    # leaked the persisted edges)
+    try:
+        labels = (
+            edges.select(F.col("s").alias("id")).distinct()
+            .withColumn("label", F.col("id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iters} iterations"
-        )
-    edges.unpersist()
-    return labels.select("id", F.col("label").alias("component"))
+        for _ in range(max_iters):
+            propagated = (
+                edges.join(labels.withColumnRenamed("id", "s"), "s")
+                .select(F.col("d").alias("id"), "label")
+            )
+            new_labels = (
+                labels.unionByName(propagated)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iters} iterations"
+            )
+        # result is already materialized (final localCheckpoint), so the
+        # edge cache is safe to drop before returning
+        return labels.select("id", F.col("label").alias("component"))
+    finally:
+        edges.unpersist()
 
 
 def embedding_near_dups(

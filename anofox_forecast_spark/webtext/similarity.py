@@ -131,6 +131,19 @@ def lsh_cosine_topk(
     if "c_vec" not in cb.columns:
         raise ValueError("corpus_index must be built with with_vec=True "
                          "(in-bucket scoring needs the vectors)")
+    if corpus_index is not None:
+        # a prebuilt index hashed with different planes puts queries in
+        # disjoint buckets → near-zero recall with no error (ADVICE r4);
+        # hyperplane_buckets stamps its parameters on the bucket column
+        got = dict(cb.schema["bucket"].metadata or {})
+        want = {"n_planes": n_planes, "n_tables": n_tables,
+                "dim": dim, "seed": seed}
+        if {k: got.get(k) for k in want} != want:
+            raise ValueError(
+                "corpus_index plane parameters don't match this call "
+                f"(index={got or 'missing — rebuild with hyperplane_buckets'}, "
+                f"call={want})"
+            )
     qb = hyperplane_buckets(queries, id_col, vec_col, "q",
                             n_planes=n_planes, n_tables=n_tables, dim=dim,
                             seed=seed, probe=multiprobe, with_vec=True)
@@ -247,6 +260,12 @@ def hyperplane_buckets(
     planes = rng.normal(size=(n_tables, n_planes, dim))
     flat = planes.reshape(n_tables * n_planes, dim)
     weights = 1 << np.arange(n_planes)
+    # plane parameters ride as column metadata on `bucket` so a prebuilt
+    # index can be validated against the query side's parameters — a
+    # mismatch hashes queries into disjoint buckets and silently returns
+    # near-zero recall (ADVICE r4). Metadata survives select/persist.
+    bucket_meta = {"n_planes": n_planes, "n_tables": n_tables,
+                   "dim": dim, "seed": seed}
 
     @F.pandas_udf("array<string>")
     def buckets_of(embs: pd.Series) -> pd.Series:
@@ -273,7 +292,9 @@ def hyperplane_buckets(
         # carried for IN-BUCKET scoring (one copy per bucket membership,
         # NOT one per candidate pair — see _inbucket_pair_scores)
         cols.insert(1, F.col(vec_col).alias(f"{prefix}_vec"))
-    return df.select(*cols)
+    # withMetadata, not alias(metadata=...): alias metadata is dropped on
+    # a Generate (explode) output
+    return df.select(*cols).withMetadata("bucket", bucket_meta)
 
 
 def _iter_bucket_groups(batches):

@@ -170,6 +170,12 @@ def test_ensemble_custom_weights():
         T.ensemble(y, 5, method="custom", weights=[0.5, 0.5])
     with pytest.raises(ValueError, match="doesn't match model count"):
         T.ensemble(y, 5, method="custom")
+    # degenerate weight vectors that would normalize to NaN raise up
+    # front instead of silently producing NaN forecasts (ADVICE r4)
+    for bad in ([1.0, -1.0, 0.0], [0.0, 0.0, 0.0], [np.nan, 1.0, 1.0],
+                [np.inf, 1.0, 1.0]):
+        with pytest.raises(ValueError, match="finite with a positive sum"):
+            T.ensemble(y, 5, method="custom", weights=bad)
 
 
 def test_theta_stm_vs_otm_differ():

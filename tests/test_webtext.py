@@ -580,3 +580,56 @@ def test_asof_join_semantics(spark):
     assert out[("a", 5)] == 100.0       # tie (right ts == left ts) matches
     assert out[("a", 7)] == 100.0       # carries forward past the gap
     assert out[("b", 3)] is None        # right row at ts=4 is in the future
+
+
+def test_webtext_ops_leave_cache_empty(spark):
+    """The signature-table materializations must not accumulate catalog
+    cache entries across calls (ADVICE/VERDICT r4: persist() without
+    unpersist leaked one cached table per call). minhash/simhash now use
+    eager localCheckpoint (catalog-free, ContextCleaner-released);
+    connected_components releases its edge cache in a finally block —
+    including on the non-convergence error path."""
+    from anofox_forecast_spark.webtext.dedup import connected_components
+
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    docs = _docs(spark)
+    minhash_lsh_candidates(docs, "doc_id", "text", n_hashes=32, bands=8).count()
+    simhash_near_dups(docs, "doc_id", "text", max_hamming=3).count()
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    connected_components(pairs).count()
+    assert cache_mgr.isEmpty(), "webtext op left a cached table behind"
+    # error path: a chain of diameter 4 cannot converge in 1 iteration
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(chain, max_iters=1)
+    assert cache_mgr.isEmpty(), "non-convergence path leaked the edge cache"
+
+
+def test_lsh_index_param_mismatch_raises(spark):
+    """A prebuilt corpus index built with different plane parameters must
+    be rejected, not silently return near-zero recall (ADVICE r4)."""
+    import pytest
+
+    from anofox_forecast_spark.webtext.similarity import hyperplane_buckets
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    idx = hyperplane_buckets(emb, "vec_id", "embedding", "c",
+                             n_planes=4, n_tables=2, dim=8, seed=1,
+                             with_vec=True)
+    with pytest.raises(ValueError, match="plane parameters"):
+        lsh_cosine_topk(emb, queries, k=3, n_planes=8, n_tables=2, dim=8,
+                        seed=1, corpus_index=idx)
+    # matching parameters pass validation and run
+    ok = lsh_cosine_topk(emb, queries, k=3, n_planes=4, n_tables=2, dim=8,
+                         seed=1, corpus_index=idx)
+    assert ok.count() >= 0
