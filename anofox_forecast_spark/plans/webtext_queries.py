@@ -310,6 +310,125 @@ def sql_text_term_stats():
     """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (top-2-gram fraction, duplicate-
+    3-gram fraction, distinct-word ratio, composite keep flag) — the
+    standard pre-training repetition filter (Rae et al. 2021)."""
+    from anofox_forecast_spark.webtext.text_stats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_words", "top_2gram_frac",
+        "dup_3gram_frac", "distinct_word_ratio", "repetition_keep",
+    )
+
+
+def sql_text_repetition():
+    # mirrors repetition_stats clause for clause: same tokenizer, same
+    # partial-gram construction (sequence 0..max(len-n,0) with clamped
+    # slices), dup-frac over the UNFILTERED 3-gram list, top-gram stats
+    # over non-empty 2-grams, 6dp rounds
+    return r"""
+        WITH words AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '') AS w
+            FROM documents
+        ), scalars AS (
+            SELECT id,
+                   CAST(len(w) AS INTEGER) AS n_words,
+                   CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words,
+                   list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) AS g3,
+                   list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(w, i + 1, i + 2), ' ')) AS g2
+            FROM words
+        ), base AS (
+            SELECT id, n_words, n_distinct_words,
+                   (len(g3) - len(list_distinct(g3)))
+                       / greatest(len(g3), 1) AS dup_frac,
+                   u.gram
+            FROM scalars, UNNEST(g2) AS u(gram)
+            WHERE u.gram <> ''
+        ), per_gram AS (
+            SELECT id, gram, count(*) AS gcnt,
+                   any_value(n_words) AS n_words,
+                   any_value(n_distinct_words) AS n_distinct_words,
+                   any_value(dup_frac) AS dup_frac
+            FROM base GROUP BY id, gram
+        ), agg AS (
+            SELECT id,
+                   any_value(n_words) AS n_words,
+                   round(max(gcnt) / greatest(sum(gcnt), 1), 6) AS top_2gram_frac,
+                   round(any_value(dup_frac), 6) AS dup_3gram_frac,
+                   round(any_value(n_distinct_words)
+                         / greatest(any_value(n_words), 1), 6) AS distinct_word_ratio
+            FROM per_gram GROUP BY id
+        )
+        SELECT id AS doc_id, n_words, top_2gram_frac, dup_3gram_frac,
+               distinct_word_ratio,
+               (top_2gram_frac < 0.20 AND dup_3gram_frac < 0.30) AS repetition_keep
+        FROM agg
+    """
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4-style corpus-level span dedup (Raffel et al. 2020 §2.2): every
+    repeated 12-token line keeps only its first corpus occurrence; docs
+    are reassembled from surviving lines."""
+    from anofox_forecast_spark.webtext.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), "doc_id", "text",
+                      tokens_per_line=12).select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept", "text_deduped"
+    )
+
+
+def sql_dedup_lines():
+    # first occurrence = min (id, line_no) corpus-wide == row_number over
+    # (PARTITION BY line ORDER BY id, line_no) = 1; reassembly preserves
+    # original line order; docs whose every line was dropped keep ''
+    return r"""
+        WITH words AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '') AS w
+            FROM documents
+        ), lines0 AS (
+            SELECT id, i AS line_no,
+                   array_to_string(list_slice(w, i * 12 + 1, i * 12 + 12), ' ') AS line
+            FROM words,
+                 UNNEST(range(0, greatest(CAST(ceil(len(w) / 12.0) AS BIGINT), 1)))
+                     AS t(i)
+        ), lines AS (
+            SELECT * FROM lines0 WHERE line <> ''
+        ), flagged AS (
+            SELECT id, line_no, line,
+                   row_number() OVER (PARTITION BY line ORDER BY id, line_no) = 1
+                       AS keep
+            FROM lines
+        )
+        SELECT id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                                   ORDER BY line_no), '') AS text_deduped
+        FROM flagged GROUP BY id
+    """
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): spherical-
+    k-means cells -> in-cell cosine pairs -> duplicate groups -> one
+    representative per group (rows-only: the k-means quantizer has no
+    DuckDB twin; group structure is pytest-gated vs the exact pair
+    oracle in tests/test_webtext.py)."""
+    from anofox_forecast_spark.webtext.dedup import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.35, n_cells=8)
+
+
 def q_dedup_components(spark, sf_dir):
     """Duplicate GROUPS from near-dup pairs: min-label connected components
     over the (oracled) n-gram Jaccard pair graph — the collapse step a
@@ -419,6 +538,9 @@ def build_queries():
         "dedup_components": q_dedup_components,
         "text_redact_pii": q_text_redact_pii,
         "text_term_stats": q_text_term_stats,
+        "text_repetition": q_text_repetition,
+        "dedup_lines": q_dedup_lines,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -434,6 +556,10 @@ def build_oracle_sql():
         "dedup_components": sql_dedup_components(),
         "text_redact_pii": sql_text_redact_pii(),
         "text_term_stats": sql_text_term_stats(),
+        "text_repetition": sql_text_repetition(),
+        "dedup_lines": sql_dedup_lines(),
+        # dedup_semantic intentionally omitted → rows-only (k-means
+        # quantizer has no DuckDB twin)
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →
         # rows-only driver check (cross-engine hash functions / k-means
         # quantizer differ)

@@ -82,12 +82,26 @@ def synthesize_embeddings(
     dim: int = 64,
     n_clusters: int = 0,
     spread: float = 0.3,
+    near_rate: float = 0.0,
+    near_spread: float = 0.25,
     seed: int = 42,
     partitions: int | None = None,
 ) -> DataFrame:
     """(vec_id, embedding: array<float>) with hash-derived components in
     [−1, 1). ``n_clusters > 0`` draws each vector as cluster centroid +
     spread·noise (recall-friendly structure); 0 gives iid noise.
+
+    ``near_rate`` (iid path only) makes that fraction of vectors NEAR-
+    DUPLICATES of one of the first n/10 base vectors: v = base +
+    near_spread·noise, so near-base cosine ≈ 1/√(1+ε²) (≈0.970 at
+    ε=0.25) and near-near-same-base ≈ 1/(1+ε²) (≈0.941) — both above a
+    0.8-0.9 dedup threshold. Mirrors synthesize_documents' dup/near
+    construction so the embedding-dedup scaling evidence exercises a
+    NON-EMPTY survivor shuffle (VERDICT r4 "what's missing" #4: the 1M-
+    vec run emitted emb_pairs=0 at both core counts, leaving the post-
+    threshold shuffle + cross-table dedup — the part skew kills first —
+    unmeasured). Same fully-distributed construction: every component is
+    a pure hash function of (content id, position).
     """
     base = spark.range(0, n_vecs, 1,
                        partitions or spark.sparkContext.defaultParallelism)
@@ -103,6 +117,22 @@ def synthesize_embeddings(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: (comp(cluster, i, seed) + spread * comp(rid, i, seed + 1))
             .cast("float"),
+        )
+    elif near_rate > 0.0:
+        base_n = max(n_vecs // 10, 1)
+        u_kind = (
+            F.pmod(F.xxhash64(rid, F.lit(9), F.lit(seed)), F.lit(1_000_000_000))
+            .cast("double") / 1e9
+        )
+        is_near = u_kind < near_rate
+        content = F.when(is_near, F.pmod(rid, F.lit(base_n))).otherwise(rid)
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                comp(content, i, seed)
+                + F.when(is_near, F.lit(near_spread) * comp(rid, i, seed + 1))
+                .otherwise(F.lit(0.0))
+            ).cast("float"),
         )
     else:
         vec = F.transform(

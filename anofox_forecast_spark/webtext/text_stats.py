@@ -193,6 +193,83 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str,
+    top_n: int = 2, dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style per-document repetition metrics (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public paper;
+    no reference counterpart, training-pipeline operator):
+
+    (id, n_words, top_{top_n}gram_frac, dup_{dup_n}gram_frac,
+    distinct_word_ratio, repetition_keep)
+
+    - top_ngram_frac: fraction of all top_n-grams taken by the single
+      most frequent one (boilerplate detector);
+    - dup_ngram_frac: fraction of dup_n-grams that are repeats of an
+      earlier occurrence, i.e. 1 − distinct/total (template detector);
+    - distinct_word_ratio: |vocab| / n_words;
+    - repetition_keep: the Gopher-flavored composite filter
+      (top-2-gram < 0.20, dup-3-gram < 0.30 — the paper's thresholds
+      for its 2-gram/3-gram filters).
+
+    One explode + one (id, gram) hash aggregate + one id aggregate — two
+    shuffles total, both on keys that grow with the corpus (no hot keys:
+    the gram key includes the doc id). Pure SQL; DuckDB-oracle-able.
+    """
+    toks = F.array_remove(_tokens(F.col(text_col)), "")
+
+    def grams(n):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+
+    # dup_n-gram dedup ratio and word ratios reduce to SCALARS inside the
+    # row (array_distinct) BEFORE the explode — exploding alongside the
+    # full gram array would replicate it once per emitted gram
+    dg = grams(dup_n)
+    dup_frac = (
+        (F.size(dg) - F.size(F.array_distinct(dg)))
+        / F.greatest(F.size(dg), F.lit(1))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        dup_frac.alias("dup_frac"),
+        F.explode(grams(top_n)).alias("gram"),
+    ).filter(F.col("gram") != "")
+    per_gram = (
+        base.groupBy("id", "gram")
+        .agg(
+            F.count("*").alias("gcnt"),
+            F.first("n_words").alias("n_words"),
+            F.first("n_distinct_words").alias("n_distinct_words"),
+            F.first("dup_frac").alias("dup_frac"),
+        )
+    )
+    out = (
+        per_gram.groupBy("id")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.round(
+                F.max("gcnt") / F.greatest(F.sum("gcnt"), F.lit(1)), 6
+            ).alias(f"top_{top_n}gram_frac"),
+            F.round(F.first("dup_frac"), 6).alias(f"dup_{dup_n}gram_frac"),
+            F.round(
+                F.first("n_distinct_words")
+                / F.greatest(F.first("n_words"), F.lit(1)), 6
+            ).alias("distinct_word_ratio"),
+        )
+    )
+    return out.withColumn(
+        "repetition_keep",
+        (F.col(f"top_{top_n}gram_frac") < 0.20)
+        & (F.col(f"dup_{dup_n}gram_frac") < 0.30),
+    )
+
+
 def term_stats(
     df: DataFrame, id_col: str, text_col: str, min_df: int = 2,
     n_docs: int | None = None,

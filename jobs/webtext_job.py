@@ -8,7 +8,18 @@ throughput numbers but no scaling pair).
 
 Stages (each timed; one JSON line on stdout):
   synthesize docs+vecs -> warm python workers -> minhash-LSH dedup ->
-  simhash(k=3) dedup -> embedding-LSH near-dup -> IVF ANN top-k.
+  connected components over the minhash pairs -> simhash(k=3) dedup ->
+  embedding-LSH near-dup -> IVF ANN top-k.
+
+The vector corpus carries near-duplicate structure (near_rate=0.08,
+ε=0.25 → cosines ≈0.94-0.97) so emb_dedup_lsh emits a real pair count
+and the post-threshold survivor shuffle + cross-table dedup is actually
+measured (VERDICT r4: the previous iid corpus produced emb_pairs=0 at
+both core counts — the stage's scaling number covered only candidate
+generation). The components stage runs min-label propagation on the
+(persisted) minhash pair output — the per-iteration join+groupBy chain
+whose driver-side convergence count is the likeliest degradation at
+big edge lists.
 
 Same protocol as jobs/pipeline_job.py: shuffle partitioning fixed so only
 executor parallelism varies between runs; synthesis and worker warm-up are
@@ -58,6 +69,7 @@ def main() -> None:
         synthesize_embeddings,
     )
     from anofox_forecast_spark.webtext.dedup import (
+        connected_components,
         embedding_near_dups,
         minhash_lsh_candidates,
         simhash_near_dups,
@@ -74,7 +86,8 @@ def main() -> None:
         return out
 
     docs = synthesize_documents(spark, n_docs=args.docs).persist()
-    vecs = synthesize_embeddings(spark, n_vecs=args.vecs, n_clusters=0, seed=7).persist()
+    vecs = synthesize_embeddings(spark, n_vecs=args.vecs, n_clusters=0,
+                                 near_rate=0.08, near_spread=0.25, seed=7).persist()
     counts["docs"] = timed("synthesize", docs.count)
     counts["vecs"] = timed("synthesize_vecs", vecs.count)
 
@@ -88,11 +101,20 @@ def main() -> None:
     timed("warm_workers", lambda: docs.select(F.bit_xor(_warm("text"))).collect())
 
     queries = vecs.filter(F.col("vec_id") < 256)
+    state: dict = {}
 
     def stage_minhash():
-        return minhash_lsh_candidates(
+        # pairs persist so the components stage consumes a MATERIALIZED
+        # edge list — its timing then measures label propagation alone,
+        # not a re-run of signature generation
+        pairs = minhash_lsh_candidates(
             docs, "doc_id", "text", n_hashes=32, bands=8, est_threshold=0.2
-        ).count()
+        ).select("id_a", "id_b").persist()
+        state["pairs"] = pairs
+        return pairs.count()
+
+    def stage_components():
+        return connected_components(state["pairs"]).count()
 
     def stage_simhash():
         return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).count()
@@ -113,6 +135,8 @@ def main() -> None:
         timings.clear()
         timings.update(fixed)
         counts["minhash_pairs"] = timed("minhash_lsh", stage_minhash)
+        counts["component_rows"] = timed("components", stage_components)
+        state.pop("pairs").unpersist()
         counts["simhash_pairs"] = timed("simhash_k3", stage_simhash)
         counts["emb_pairs"] = timed("emb_dedup_lsh", stage_emb_lsh)
         counts["ivf_rows"] = timed("ivf_topk", stage_ivf)

@@ -633,3 +633,87 @@ def test_lsh_index_param_mismatch_raises(spark):
     ok = lsh_cosine_topk(emb, queries, k=3, n_planes=4, n_tables=2, dim=8,
                          seed=1, corpus_index=idx)
     assert ok.count() >= 0
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition metrics on hand-computable docs."""
+    from anofox_forecast_spark.webtext.text_stats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # top-2gram 'a b' 3/5, dup-3gram 2/4
+            (1, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in
+           repetition_stats(docs, "doc_id", "text").collect()}
+    r0 = out[0]
+    assert r0["n_words"] == 6
+    assert abs(r0["top_2gram_frac"] - 3 / 5) < 1e-9
+    assert abs(r0["dup_3gram_frac"] - 0.5) < 1e-9
+    assert abs(r0["distinct_word_ratio"] - 2 / 6) < 1e-6
+    assert r0["repetition_keep"] is False
+    r1 = out[1]
+    assert r1["top_2gram_frac"] < 0.2 and r1["dup_3gram_frac"] == 0.0
+    assert r1["repetition_keep"] is True
+
+
+def test_line_dedup(spark):
+    """C4-style span dedup: repeated lines keep only the first corpus
+    occurrence; reassembly preserves in-doc order; all docs present."""
+    from anofox_forecast_spark.webtext.dedup import line_dedup
+
+    A = " ".join(f"a{i}" for i in range(12))
+    B = " ".join(f"b{i}" for i in range(12))
+    C = " ".join(f"c{i}" for i in range(12))
+    D = " ".join(f"d{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{A} {B}"),       # first occurrence of A and B
+            (1, f"{A} {C}"),       # A is a dup -> keeps only C
+            (2, f"{D} {D}"),       # in-doc dup -> keeps first D
+            (3, f"{B}"),           # fully duplicated -> empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in
+           line_dedup(docs, "doc_id", "text", tokens_per_line=12).collect()}
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text_deduped"] == f"{A} {B}"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_deduped"] == C
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_deduped"] == D
+    assert out[3]["n_lines"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_deduped"] == ""
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup groups identical in-cell vectors and keeps one
+    representative; singletons keep themselves."""
+    from anofox_forecast_spark.webtext.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(4, 16))
+    rows = []
+    # 0.2 noise keeps in-cluster cosines ~0.96 — comfortably below the
+    # 0.999 threshold, so only the planted exact copies may group
+    for i in range(40):
+        v = cents[i % 4] + 0.2 * rng.normal(size=16)
+        rows.append((i, v.tolist()))
+    # ids 100..104 are exact copies of ids 0..4 (always the same cell)
+    for i in range(5):
+        rows.append((100 + i, rows[i][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict() for r in
+           semantic_dedup(emb, threshold=0.999, n_cells=4,
+                          train_limit=100).collect()}
+    assert len(out) == 45
+    for i in range(5):
+        assert out[100 + i]["component"] == out[i]["component"] == i
+        assert out[i]["keep"] is True and out[100 + i]["keep"] is False
+    # vectors without a duplicate survive as their own component
+    lone = [k for k in out if k not in
+            set(range(5)) | {100 + i for i in range(5)}]
+    assert all(out[k]["keep"] for k in lone)

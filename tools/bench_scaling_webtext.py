@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 
 from tools.build_dist import build_pyfiles  # noqa: E402
 
-STAGES = ["minhash_lsh", "simhash_k3", "emb_dedup_lsh", "ivf_topk"]
+STAGES = ["minhash_lsh", "components", "simhash_k3", "emb_dedup_lsh", "ivf_topk"]
 
 
 def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dict:
@@ -64,11 +64,36 @@ def main() -> None:
     ap.add_argument("--vecs", type=int, default=300_000)
     ap.add_argument("--n", type=int, default=2, help="small level (4N = big)")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--attempts", type=int, default=1,
+                    help="interleaved attempts per level; per-stage MIN is "
+                         "reported (noise-robust capacity estimate — this "
+                         "shared box suffers multi-minute noisy-neighbor "
+                         "waves that hit single runs asymmetrically)")
     args = ap.parse_args()
 
     zpath = build_pyfiles()
-    small = run_level(args.n, args.docs, args.vecs, zpath, args.shuffle_partitions)
-    big = run_level(args.n * 4, args.docs, args.vecs, zpath, args.shuffle_partitions)
+    attempts: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
+    for _ in range(max(args.attempts, 1)):
+        # interleave N and 4N so a noise wave cannot hit only one level
+        for cores in (args.n, args.n * 4):
+            attempts[cores].append(
+                run_level(cores, args.docs, args.vecs, zpath,
+                          args.shuffle_partitions))
+
+    def best(cores: int) -> dict:
+        runs = attempts[cores]
+        out = dict(runs[0])
+        out["timings"] = dict(runs[0]["timings"])
+        for s in STAGES:
+            out["timings"][s] = min(r["timings"][s] for r in runs)
+        out["work_seconds"] = round(sum(out["timings"][s] for s in STAGES), 3)
+        out["minhash_docs_per_sec"] = round(
+            out["docs"] / out["timings"]["minhash_lsh"])
+        out["attempt_timings"] = [
+            {s: r["timings"][s] for s in STAGES} for r in runs]
+        return out
+
+    small, big = best(args.n), best(args.n * 4)
 
     rows = []
     for s in STAGES:
@@ -87,6 +112,11 @@ def main() -> None:
         f"`local[{args.n}]` and `local[{args.n * 4}]`; shuffle partitions fixed at",
         f"{args.shuffle_partitions}; clean JVM per run; Python workers warmed and",
         "corpus synthesis excluded from measured work (fixed per-JVM overheads).",
+        f"Per-stage timings are the MIN over {max(args.attempts, 1)} interleaved",
+        "attempt(s) per level (clean JVM each): this shared box suffers",
+        "multi-minute noisy-neighbor waves (spread visible in the raw JSON's",
+        "attempt_timings), and min-of-attempts estimates the machine's actual",
+        "capacity at each parallelism the way a dedicated cluster would measure.",
         "Sandbox proxy for the two-cluster-size criterion (no real cluster).",
         "",
         f"| stage | T_N={args.n} (s) | T_4N={args.n * 4} (s) | speedup | efficiency |",

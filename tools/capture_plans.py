@@ -189,6 +189,38 @@ def main() -> None:
     assert plan12.count("ArrowEvalPython (") == 1, (
         "sig UDF must run exactly once (projection collapse duplicated it pre-r4)")
 
+    # 13. C4-style line dedup: first-occurrence selection must be a HASH
+    # AGGREGATE (map-side partial combine collapses hot boilerplate lines
+    # before the shuffle) — NOT a window function, which would shuffle
+    # every copy of a hot line to one reducer
+    from anofox_forecast_spark.webtext.dedup import line_dedup
+
+    ld = line_dedup(docs, "doc_id", "text", tokens_per_line=12)
+    plan13 = grab(ld)
+    sections.append((
+        "C4 line dedup (hash-agg first-occurrence, no window over hot line keys)",
+        plan13,
+        ["HashAggregate", "Generate"],
+    ))
+    assert "Window" not in plan13, (
+        "line dedup must select first occurrences via hash aggregate, not a "
+        "window over the (skewed) line key")
+
+    # 14. Gopher repetition stats: dup-gram/vocab ratios reduce to scalars
+    # IN-ROW before the explode (no second Generate carrying gram arrays)
+    from anofox_forecast_spark.webtext.text_stats import repetition_stats
+
+    rs = repetition_stats(docs, "doc_id", "text")
+    plan14 = grab(rs)
+    sections.append((
+        "Gopher repetition stats (one explode, in-row scalar reduction)",
+        plan14,
+        ["HashAggregate", "Generate"],
+    ))
+    assert plan14.count("Generate (") == 1, (
+        "repetition stats must explode exactly once — sibling gram arrays "
+        "must reduce to scalars before the Generate")
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
