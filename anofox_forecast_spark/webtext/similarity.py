@@ -134,8 +134,9 @@ def lsh_cosine_topk(
     if corpus_index is not None:
         # a prebuilt index hashed with different planes puts queries in
         # disjoint buckets → near-zero recall with no error (ADVICE r4);
-        # hyperplane_buckets stamps its parameters on the bucket column
-        got = dict(cb.schema["bucket"].metadata or {})
+        # hyperplane_buckets stamps its parameters on the bucket(s) column
+        bcol = "buckets" if "buckets" in cb.columns else "bucket"
+        got = dict(cb.schema[bcol].metadata or {})
         want = {"n_planes": n_planes, "n_tables": n_tables,
                 "dim": dim, "seed": seed}
         if {k: got.get(k) for k in want} != want:
@@ -144,18 +145,43 @@ def lsh_cosine_topk(
                 f"(index={got or 'missing — rebuild with hyperplane_buckets'}, "
                 f"call={want})"
             )
+    if corpus_index is not None:
+        # BROADCAST-PROBE path (r5): with a prebuilt index the probe used
+        # to union queries into the corpus bucket table and re-shuffle ALL
+        # of it (n·tables rows × dim doubles ≈ 820 MB at 100k vecs) per
+        # call — an r5 plane sweep showed probe time flat (~4 s) from 8 to
+        # 12 planes, i.e. SHUFFLE-bound, not candidate-bound as assumed.
+        # The deployment shape is tiny query batches against a big
+        # standing index, so instead: collect the query-side bucket table
+        # (bounded: |queries|·tables·(planes+1) rows — document/limit the
+        # batch size at scale), ship it in the UDF closure, and scan the
+        # persisted index MAP-SIDE — per Arrow batch, group rows by
+        # bucket, one normalized matmul against that bucket's queries,
+        # emit per-batch per-query top-k. Global top-k ⊆ union of
+        # per-batch top-k, so no recall is lost; zero corpus shuffle.
+        # query buckets computed DRIVER-SIDE in numpy (identical plane
+        # construction): the query batch is collected for the closure
+        # anyway, and routing it through a pandas_udf stage cost a whole
+        # Spark job per probe call
+        q_pdf = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).toPandas()
+        qb_pdf = _query_buckets_local(
+            q_pdf, n_planes=n_planes, n_tables=n_tables, dim=dim,
+            seed=seed, probe=multiprobe)
+        return _broadcast_probe_topk(cb, qb_pdf, k)
     qb = hyperplane_buckets(queries, id_col, vec_col, "q",
                             n_planes=n_planes, n_tables=n_tables, dim=dim,
                             seed=seed, probe=multiprobe, with_vec=True)
-    # IN-BUCKET scoring (r4): queries meet corpus members inside their
-    # shared buckets and each bucket scores with one normalized matmul,
-    # emitting only its per-query top-k (global top-k ⊆ union of
-    # per-bucket top-k, so no recall is lost). The r3 shape joined the two
-    # 64-double vectors onto every candidate PAIR (~14M pairs for 256
-    # queries at 100k vecs → ~14 GB Arrow traffic, memory-bandwidth
-    # bound: measured 1.3× speedup from 2→8 cores); now vectors move once
-    # per bucket membership and the post-score shuffle is three scalars
-    # per surviving candidate.
+    # IN-BUCKET scoring (r4), one-shot path (no standing index): queries
+    # meet corpus members inside their shared buckets and each bucket
+    # scores with one normalized matmul, emitting only its per-query
+    # top-k (global top-k ⊆ union of per-bucket top-k, so no recall is
+    # lost). The r3 shape joined the two 64-double vectors onto every
+    # candidate PAIR (~14M pairs for 256 queries at 100k vecs → ~14 GB
+    # Arrow traffic, memory-bandwidth bound: measured 1.3× speedup from
+    # 2→8 cores); now vectors move once per bucket membership and the
+    # post-score shuffle is three scalars per surviving candidate.
     both = cb.select(
         F.col("c_id").alias("id"), F.col("c_vec").alias("vec"),
         "bucket", F.lit(False).alias("is_q"),
@@ -165,6 +191,164 @@ def lsh_cosine_topk(
     ))
     n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return _inbucket_topk(both, k, n_parts)
+
+
+def _query_buckets_local(q_pdf, n_planes: int, n_tables: int, dim: int,
+                         seed: int, probe: int):
+    """Driver-side twin of hyperplane_buckets' bucket strings (same
+    seeded plane construction, same f"{table}:{signature}" format, same
+    1-bit multiprobe flips) over a collected query batch — one numpy
+    matmul instead of a Spark job. Returns a pandas frame
+    (q_id, q_vec, bucket), one row per probed bucket."""
+    rng = np.random.default_rng(seed)
+    flat = rng.normal(size=(n_tables, n_planes, dim)).reshape(
+        n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+    ids, recs = [], []
+    if len(q_pdf):
+        m = np.array(q_pdf["q_vec"].tolist(), dtype=np.float64)
+        bits = (m @ flat.T) >= 0.0
+        for r in range(m.shape[0]):
+            bs = []
+            for t in range(n_tables):
+                sig = int(bits[r, t * n_planes:(t + 1) * n_planes] @ weights)
+                bs.append(f"{t}:{sig}")
+                if probe >= 1:
+                    bs.extend(f"{t}:{sig ^ (1 << b)}" for b in range(n_planes))
+            ids.extend([r] * len(bs))
+            recs.extend(bs)
+    rows = q_pdf.iloc[ids].reset_index(drop=True) if ids else q_pdf.iloc[:0]
+    out = pd.DataFrame({
+        "q_id": rows["q_id"].to_numpy() if len(rows) else [],
+        "bucket": recs,
+    })
+    out["q_vec"] = rows["q_vec"].to_numpy() if len(rows) else []
+    return out
+
+
+def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
+    """Map-side ANN probe: scan the standing corpus bucket index once,
+    score each Arrow batch's rows against the (closure-shipped) query
+    bucket table, emit per-batch per-query top-k, finish with one tiny
+    window over ≤ batches·queries·k candidate rows.
+
+    The index never shuffles; a broadcast semi-join on the probed bucket
+    set prunes non-candidate index rows JVM-side before they enter Arrow
+    (effective once n_planes makes buckets sparser than the probe set).
+    """
+    from pyspark.sql import Window
+
+    # dedup queries: one row per query, plus bucket -> query-row-indices.
+    # The scorer is ONE dense masked matmul + ONE vectorized argpartition
+    # per Arrow batch — a first cut that grouped each batch by bucket and
+    # looped queries per group spent its time in pandas groupby + tiny
+    # matmuls (measured 2-6× SLOWER than the shuffle path it replaces;
+    # more planes → more tiny groups → worse).
+    qid_arr = qb_pdf["q_id"].to_numpy()
+    uq_ids, uq_idx = np.unique(qid_arr, return_inverse=True)
+    Q = np.zeros((uq_ids.size, len(qb_pdf["q_vec"].iloc[0]) if len(qb_pdf) else 0))
+    for pos, row in zip(uq_idx, qb_pdf["q_vec"].to_numpy()):
+        Q[pos] = row
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    bucket_to_qrows: dict = {
+        b: np.unique(uq_idx[g.index.to_numpy()])
+        for b, g in qb_pdf.reset_index(drop=True).groupby("bucket")
+    }
+    n_q = uq_ids.size
+    kk = k
+
+    def score(batches):
+        for pdf in batches:
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            if "buckets" in pdf.columns:
+                # grouped index: one row per vector, bucket ARRAY — ids
+                # are already unique; flatten (row, bucket) entries
+                uc_ids = pdf["c_id"].to_numpy()
+                C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+                blists = pdf["buckets"].to_numpy()
+                ent_rows = np.repeat(
+                    np.arange(nrows),
+                    np.fromiter((len(x) for x in blists), dtype=np.int64,
+                                count=nrows))
+                flat = pd.Series(np.concatenate(blists)) if nrows else pd.Series([])
+                c_inv = ent_rows
+            else:
+                # exploded index: a candidate appears once per TABLE
+                # membership — dedup to one score-matrix column per
+                # distinct id, else duplicate columns crowd distinct
+                # candidates out of the per-batch top-k (measured:
+                # recall 1.0 → 0.925 at 12 planes)
+                ci = pdf["c_id"].to_numpy()
+                uc_ids, first_idx, c_inv = np.unique(
+                    ci, return_index=True, return_inverse=True)
+                C = np.array(
+                    pdf["c_vec"].iloc[first_idx].tolist(), dtype=np.float64)
+                flat = pdf["bucket"]
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0] = 1.0
+            # validity mask: (query, candidate) allowed iff some index
+            # entry of the candidate sits in a bucket the query probes,
+            # minus self-matches
+            codes, uniq = pd.factorize(flat, sort=False)
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+            M = np.zeros((n_q, uc_ids.size), dtype=bool)
+            for u, b in enumerate(uniq):
+                qrows = bucket_to_qrows.get(b)
+                if qrows is not None:
+                    cols = c_inv[order[bounds[u]:bounds[u + 1]]]
+                    M[np.ix_(qrows, cols)] = True
+            M &= uc_ids[None, :] != uq_ids[:, None]
+            if not M.any():
+                continue
+            S = Qn @ (C / cn[:, None]).T
+            S[~M] = -2.0  # below any cosine
+            kth = min(kk, uc_ids.size)
+            top = np.argpartition(-S, kth - 1, axis=1)[:, :kth]
+            rows = np.repeat(np.arange(n_q), kth)
+            cols = top.ravel()
+            sc = S[rows, cols]
+            keep = sc > -1.5
+            if not keep.any():
+                continue
+            yield pd.DataFrame({
+                "q_id": uq_ids[rows[keep]],
+                "c_id": uc_ids[cols[keep]],
+                "cosine": sc[keep],
+            })
+
+    spark = index_df.sparkSession
+    if "buckets" in index_df.columns:
+        # grouped index: vectors ride once per vector — scan as-is (a
+        # bucket-overlap prune would rebuild the probed set as a huge
+        # literal; the scan is already n_tables× smaller than exploded)
+        pruned = index_df.select("c_id", "c_vec", "buckets")
+    else:
+        probed = spark.createDataFrame(
+            pd.DataFrame({"bucket": list(bucket_to_qrows)}), "bucket string")
+        pruned = index_df.join(
+            F.broadcast(probed), "bucket", "left_semi"
+        ).select("c_id", "c_vec", "bucket")
+    scored = (
+        pruned.mapInPandas(score, "q_id long, c_id long, cosine double")
+        # same pair via different tables/batches: bit-identical cosine
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
 
 
 def _inbucket_topk(both: DataFrame, k: int, n_partitions: int) -> DataFrame:
@@ -241,11 +425,18 @@ def hyperplane_buckets(
     seed: int = 42,
     probe: int = 0,
     with_vec: bool = False,
+    grouped: bool = False,
 ) -> DataFrame:
     """One row per (vector, bucket): columns {prefix}_id, bucket
     ("table:signature"). IDS ONLY — callers join vectors back after
     candidate-pair dedup so the wide payload never rides the bucket
     explode/shuffle.
+
+    ``grouped=True`` (requires with_vec) skips the explode and returns
+    ONE row per vector with a ``buckets`` ARRAY — the standing-index
+    shape for the broadcast-probe ANN path: the vector payload is stored
+    and Arrow-transferred once instead of once per table (n_tables×
+    smaller scans; measured 2.5× probe speedup at 16 tables).
 
     Deterministic hyperplanes from a seeded numpy RNG. All T·P signature
     dot products are ONE Arrow-batched numpy matmul (B×dim @ dim×T·P) in
@@ -284,6 +475,14 @@ def hyperplane_buckets(
             out.append(bs)
         return pd.Series(out)
 
+    if grouped:
+        if not with_vec:
+            raise ValueError("grouped=True requires with_vec=True")
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            buckets_of(F.col(vec_col)).alias("buckets"),
+        ).withMetadata("buckets", bucket_meta)
     cols = [
         F.col(id_col).alias(f"{prefix}_id"),
         F.explode(buckets_of(F.col(vec_col))).alias("bucket"),

@@ -179,13 +179,22 @@ def main() -> None:
     n_q = 256
     # index build and probe timed SEPARATELY (VERDICT r3 "what's wrong" #3:
     # end-to-end timing re-hashed the corpus per call and read as 30 q/s)
+    # grouped=True: one index row per vector with a bucket array — the
+    # standing-index shape the broadcast-probe path scans (vector payload
+    # moves once, not once per table)
     ann_idx = hyperplane_buckets(
-        emb_c, "vec_id", "embedding", "c", n_planes=8, n_tables=16, with_vec=True
+        emb_c, "vec_id", "embedding", "c", n_planes=8, n_tables=16,
+        with_vec=True, grouped=True,
     ).persist()
     wtimed("wx_ann_index_build", ann_idx.count)
-    wtimed("wx_ann_lsh_topk", lambda: lsh_cosine_topk(
+    # steady-state probe: first call compiles the plan + spins the probe
+    # stage; the deployment shape is repeated query batches against a
+    # standing index, so the SECOND call is the per-batch marginal cost
+    probe = lambda: lsh_cosine_topk(  # noqa: E731
         emb_c, emb_c.filter(F.col("vec_id") < n_q), k=5,
-        corpus_index=ann_idx).count())
+        corpus_index=ann_idx).count()
+    probe()
+    wtimed("wx_ann_lsh_topk", probe)
     ann_idx.unpersist()
     emb_u = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=0, seed=7)
     wtimed("wx_dedup_embedding_lsh", lambda: embedding_near_dups(

@@ -717,3 +717,33 @@ def test_semantic_dedup(spark):
     lone = [k for k in out if k not in
             set(range(5)) | {100 + i for i in range(5)}]
     assert all(out[k]["keep"] for k in lone)
+
+
+def test_lsh_probe_index_parity(spark):
+    """The broadcast-probe path over a prebuilt (grouped or exploded)
+    index must return EXACTLY the one-shot union path's results — the
+    r5 first cut lost recall because duplicate per-table columns crowded
+    distinct candidates out of the per-batch top-k."""
+    from anofox_forecast_spark.webtext.similarity import hyperplane_buckets
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(20, 64))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            v = centers[c] + rng.normal(0, 0.3, 64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.limit(10)
+    base = lsh_cosine_topk(df, queries, k=5).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    for grouped in (True, False):
+        idx = hyperplane_buckets(df, "vec_id", "embedding", "c",
+                                 with_vec=True, grouped=grouped)
+        got = lsh_cosine_topk(df, queries, k=5, corpus_index=idx).toPandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == \
+            base[["query_id", "neighbor_id", "rank"]].values.tolist(), \
+            f"probe path (grouped={grouped}) diverged from one-shot path"
