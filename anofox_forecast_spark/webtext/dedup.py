@@ -596,26 +596,38 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
+    method: str = "label",
 ) -> DataFrame:
     """Near-dup pairs → canonical duplicate GROUPS: (id, component) where
     component = min id reachable in the pair graph.
 
     The step every dedup pipeline needs after candidate generation: pair
     lists (minhash/simhash/ngram/embedding) must collapse into groups so
-    one survivor per group can be kept. Min-label propagation: each
-    iteration every node takes the min label among itself and its
-    neighbors; converges in graph-diameter iterations (near-dup
-    components are cliquey, diameter ~2-4). Per iteration: one join +
-    one groupBy shuffle over the EDGE list, an eager localCheckpoint to
-    truncate lineage (else the plan doubles per iteration), and one
-    bounded driver action (the convergence count) — the textbook
-    distributed-CC shape; swap to large-star/small-star (Kiveris et al.)
-    only if diameters grow beyond a handful at production scale.
+    one survivor per group can be kept.
+
+    ``method='label'`` (default): min-label propagation — each iteration
+    every node takes the min label among itself and its neighbors;
+    converges in graph-DIAMETER iterations (near-dup components are
+    cliquey, diameter ~2-4, so this is the cheap path for dedup graphs).
+    Per iteration: one join + one groupBy shuffle over the EDGE list, a
+    lazy localCheckpoint to truncate lineage (else the plan doubles per
+    iteration), and one bounded driver action (the convergence count).
+
+    ``method='star'``: the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public paper): converges in O(log n) rounds on ANY graph,
+    including long chains/paths where label propagation needs diameter
+    rounds — the swap for graphs that are not cliquey (e.g. chained
+    near-dup transitivity at loose thresholds).
 
     Only ids appearing in ≥1 pair are labeled (singletons are trivially
     their own component). No reference counterpart (driver-prompt
     training-pipeline operator).
     """
+    if method == "star":
+        return _cc_alternating(pairs, src, dst, max_iters)
+    if method != "label":
+        raise ValueError(f"unknown method {method!r} (label|star)")
     edges = pairs.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))).persist()
@@ -636,21 +648,22 @@ def connected_components(
         for _ in range(max_iters):
             propagated = (
                 edges.join(labels.withColumnRenamed("id", "s"), "s")
-                .select(F.col("d").alias("id"), "label")
+                .select(F.col("d").alias("id"), "label",
+                        F.lit(None).cast("long").alias("__old"))
             )
+            # the previous label rides the SAME aggregation as a second
+            # min (null on propagated rows, so min == the old label) —
+            # the convergence count then reads new vs old off one frame
+            # instead of a third join per iteration
             new_labels = (
-                labels.unionByName(propagated)
+                labels.withColumn("__old", F.col("label"))
+                .unionByName(propagated)
                 .groupBy("id")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
                 .localCheckpoint(eager=False)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("label") < F.col("__old")).count()
+            labels = new_labels.select("id", "label")
             if changed == 0:
                 break
         else:
@@ -662,6 +675,87 @@ def connected_components(
         return labels.select("id", F.col("label").alias("component"))
     finally:
         edges.unpersist()
+
+
+def _cc_alternating(
+    pairs: DataFrame, src: str, dst: str, max_iters: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.
+    SoCC'14). Each round transforms the undirected edge set:
+
+    - large-star: every node u links each LARGER neighbor (v > u) to
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star: every node u links each smaller-or-equal neighbor and
+      itself to m(u).
+
+    Both preserve connectivity; alternating them contracts every
+    component into a star centered at its minimum in O(log n) rounds.
+    Per phase: one groupBy (neighbor min) + one co-partitioned join +
+    one distinct — three shuffles over an edge list that SHRINKS toward
+    one edge per non-center node. Convergence = canonical edge set
+    stable (count + order-insensitive xxhash checksum in one action).
+    """
+    ids = (
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def checksum(e: DataFrame):
+        row = (
+            e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
+            .agg(F.count("*").alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h"))
+            .collect()[0]
+        )
+        return row["n"], row["h"]
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        m = (
+            e.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        joined = e.join(m, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v"))
+        else:
+            out = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v"))
+            out = out.unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+        # re-symmetrize for the next phase's neighbor scans
+        sym = out.filter(F.col("u") != F.col("v"))
+        return (
+            sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    prev = checksum(edges)
+    for _ in range(max_iters):
+        edges = star(star(edges, large=True), large=False)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components(star): no convergence in {max_iters} rounds"
+        )
+    # converged: each component is a star centered at its minimum —
+    # a node's component is its smallest neighbor (or itself for centers)
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    return (
+        ids.join(labels.withColumnRenamed("u", "id"), "id", "left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+    )
 
 
 def semantic_dedup(

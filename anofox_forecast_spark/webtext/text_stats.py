@@ -213,55 +213,113 @@ def repetition_stats(
       (top-2-gram < 0.20, dup-3-gram < 0.30 — the paper's thresholds
       for its 2-gram/3-gram filters).
 
-    One explode + one (id, gram) hash aggregate + one id aggregate — two
-    shuffles total, both on keys that grow with the corpus (no hot keys:
-    the gram key includes the doc id). Pure SQL; DuckDB-oracle-able.
+    SHUFFLE-FREE: every metric is per-document, so nothing needs a
+    groupBy — words are hashed once JVM-side (xxhash64, whole-stage
+    codegen), n-gram identities are positional linear combos of word
+    hashes (the minhash_signatures trick), and one Arrow-batched numpy
+    pass computes all per-doc counts via a batch-wide lexsort +
+    run-length reduceat. The first cut exploded grams into a
+    groupBy(id, gram) — 16M shuffled gram strings at 200k docs,
+    measured 22 s; this pass is ~1-2 s and at 100 TB avoids shuffling
+    the (enormous) gram multiset entirely. 64-bit combo-hash collisions
+    WITHIN one doc (~C(100,2)·2⁻⁶⁴) are the only deviation from exact
+    string semantics — negligible at any corpus size, and the DuckDB
+    oracle stays string-based.
     """
-    toks = F.array_remove(_tokens(F.col(text_col)), "")
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
 
-    def grams(n):
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    rng = np.random.default_rng(97)
+    max_n = max(top_n, dup_n)
+    coefs = (rng.integers(0, 1 << 62, max_n, dtype=np.uint64)
+             << np.uint64(1)) | np.uint64(1)
 
-    # dup_n-gram dedup ratio and word ratios reduce to SCALARS inside the
-    # row (array_distinct) BEFORE the explode — exploding alongside the
-    # full gram array would replicate it once per emitted gram
-    dg = grams(dup_n)
-    dup_frac = (
-        (F.size(dg) - F.size(F.array_distinct(dg)))
-        / F.greatest(F.size(dg), F.lit(1))
-    )
-    base = df.select(
+    def _gram_hashes(W, starts, ne_len, n):
+        """Positional combo hashes for all n-grams of every doc in the
+        flat word-hash array W; matches the string grammer's contract
+        (docs shorter than n contribute ONE partial gram)."""
+        T = W.size
+        Wp = np.concatenate([W, np.zeros(n - 1, dtype=np.uint64)])
+        s = np.zeros(T, dtype=np.uint64)
+        for j in range(n):
+            s += coefs[j] * Wp[j: j + T]
+        counts = np.maximum(ne_len - n + 1, 1)
+        short = np.flatnonzero(ne_len < n)
+        if short.size:
+            sstart, slen = starts[short], ne_len[short]
+            acc = np.zeros(short.size, dtype=np.uint64)
+            for j in range(n):
+                m = j < slen
+                acc[m] += coefs[j] * W[(sstart + j)[m].clip(max=T - 1)]
+            s[sstart] = acc
+        pos_within = np.arange(T, dtype=np.int64) - np.repeat(starts, ne_len)
+        valid = pos_within < np.repeat(counts, ne_len)
+        return s[valid], counts
+
+    def _run_stats(vals, counts):
+        """(max run length, distinct runs) per doc over flat per-doc gram
+        values — one batch-wide lexsort + diff + two reduceats."""
+        starts2 = np.zeros(counts.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts2[1:])
+        doc_of = np.repeat(np.arange(counts.size), counts)
+        order = np.lexsort((vals, doc_of))
+        sv, sd = vals[order], doc_of[order]
+        new_run = np.ones(sv.size, dtype=bool)
+        if sv.size > 1:
+            new_run[1:] = (sv[1:] != sv[:-1]) | (sd[1:] != sd[:-1])
+        run_ids = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_ids)
+        run_doc = sd[new_run]
+        # per-doc over runs: run boundaries align with doc boundaries
+        run_starts = np.searchsorted(run_doc, np.arange(counts.size))
+        max_run = np.maximum.reduceat(run_len, run_starts)
+        n_runs = np.diff(np.append(run_starts, run_len.size))
+        # reduceat quirk: empty docs can't occur (counts >= 1)
+        return max_run, n_runs
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def rep_udf(hs: pd.Series) -> pd.Series:
+        ndocs = len(hs)
+        out = np.zeros((ndocs, 3), dtype=np.float64)
+        lengths = np.fromiter((len(x) for x in hs), dtype=np.int64, count=ndocs)
+        nonempty = lengths > 0
+        res: list = [None] * ndocs
+        if nonempty.any():
+            W = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in hs if len(x)]
+            ).view(np.uint64)
+            ne_len = lengths[nonempty]
+            starts = np.zeros(ne_len.size, dtype=np.int64)
+            np.cumsum(ne_len[:-1], out=starts[1:])
+            tg, tg_counts = _gram_hashes(W, starts, ne_len, top_n)
+            top_max, _ = _run_stats(tg, tg_counts)
+            dgv, dg_counts = _gram_hashes(W, starts, ne_len, dup_n)
+            _, dg_distinct = _run_stats(dgv, dg_counts)
+            _, w_distinct = _run_stats(W, ne_len)
+            vals = np.stack([
+                top_max / np.maximum(tg_counts, 1),
+                (dg_counts - dg_distinct) / np.maximum(dg_counts, 1),
+                w_distinct / np.maximum(ne_len, 1),
+            ], axis=1)
+            out[nonempty] = vals
+        for j in np.flatnonzero(nonempty):
+            res[j] = out[j]
+        return pd.Series(res)
+
+    words = F.array_remove(_tokens(F.col(text_col)), "")
+    wh_col = F.transform(words, lambda w: F.xxhash64(w))
+    # empty-doc filter BEFORE the UDF (projection-collapse trap — see
+    # minhash_signatures); string-version semantics dropped empty docs too
+    base = df.filter(F.size(words) > 0).select(
         F.col(id_col).alias("id"),
-        F.size(toks).alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
-        dup_frac.alias("dup_frac"),
-        F.explode(grams(top_n)).alias("gram"),
-    ).filter(F.col("gram") != "")
-    per_gram = (
-        base.groupBy("id", "gram")
-        .agg(
-            F.count("*").alias("gcnt"),
-            F.first("n_words").alias("n_words"),
-            F.first("n_distinct_words").alias("n_distinct_words"),
-            F.first("dup_frac").alias("dup_frac"),
-        )
+        F.size(words).alias("n_words"),
+        rep_udf(wh_col).alias("__r"),
     )
-    out = (
-        per_gram.groupBy("id")
-        .agg(
-            F.first("n_words").alias("n_words"),
-            F.round(
-                F.max("gcnt") / F.greatest(F.sum("gcnt"), F.lit(1)), 6
-            ).alias(f"top_{top_n}gram_frac"),
-            F.round(F.first("dup_frac"), 6).alias(f"dup_{dup_n}gram_frac"),
-            F.round(
-                F.first("n_distinct_words")
-                / F.greatest(F.first("n_words"), F.lit(1)), 6
-            ).alias("distinct_word_ratio"),
-        )
+    out = base.select(
+        "id", "n_words",
+        F.round(F.element_at("__r", 1), 6).alias(f"top_{top_n}gram_frac"),
+        F.round(F.element_at("__r", 2), 6).alias(f"dup_{dup_n}gram_frac"),
+        F.round(F.element_at("__r", 3), 6).alias("distinct_word_ratio"),
     )
     return out.withColumn(
         "repetition_keep",

@@ -172,6 +172,13 @@ def main() -> None:
         docs, "doc_id", "text", max_hamming=3).count())
     wtimed("wx_text_quality", lambda: quality_scores(docs, "doc_id", "text").count())
     wtimed("wx_text_fingerprint", lambda: fingerprint(docs, "doc_id", "text").count())
+    from anofox_forecast_spark.webtext.dedup import line_dedup
+    from anofox_forecast_spark.webtext.text_stats import repetition_stats
+
+    wtimed("wx_dedup_lines", lambda: line_dedup(
+        docs, "doc_id", "text", tokens_per_line=12).count())
+    wtimed("wx_text_repetition", lambda: repetition_stats(
+        docs, "doc_id", "text").count())
     docs.unpersist()
 
     emb_c = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=1000).persist()
@@ -196,9 +203,16 @@ def main() -> None:
     probe()
     wtimed("wx_ann_lsh_topk", probe)
     ann_idx.unpersist()
-    emb_u = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=0, seed=7)
+    emb_u = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=0,
+                                  near_rate=0.08, seed=7)
     wtimed("wx_dedup_embedding_lsh", lambda: embedding_near_dups(
         emb_u, threshold=0.8, method="lsh", n_planes=16, n_tables=16).count())
+    from anofox_forecast_spark.webtext.dedup import semantic_dedup
+
+    # n_cells ~ sqrt(n) (SemDeDup/IVF heuristic): in-cell scoring is
+    # quadratic per cell, so cells must shrink as the corpus grows
+    wtimed("wx_dedup_semantic", lambda: semantic_dedup(
+        emb_c, threshold=0.95, n_cells=256).count())
     emb_c.unpersist()
 
     webtext = {

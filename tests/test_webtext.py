@@ -747,3 +747,38 @@ def test_lsh_probe_index_parity(spark):
         assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == \
             base[["query_id", "neighbor_id", "rank"]].values.tolist(), \
             f"probe path (grouped={grouped}) diverged from one-shot path"
+
+
+def test_connected_components_star(spark):
+    """Alternating large-star/small-star CC: matches label propagation on
+    cliquey graphs AND handles a 120-node chain in O(log n) rounds where
+    label propagation would need ~diameter iterations."""
+    from anofox_forecast_spark.webtext.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (11, 10), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = dict(
+        connected_components(pairs, method="star")
+        .orderBy("id").toPandas().itertuples(index=False)
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    # 120-node path: diameter 119, label prop would exceed max_iters=12
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    got = connected_components(chain, method="star", max_iters=12).toPandas()
+    assert (got["component"] == 0).all() and len(got) == 121
+
+    # random graph: star output == label output
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(80, 2))
+             if a != b]
+    rdf = spark.createDataFrame(edges, "id_a long, id_b long")
+    lab = dict(connected_components(rdf, method="label")
+               .toPandas().itertuples(index=False))
+    st = dict(connected_components(rdf, method="star")
+              .toPandas().itertuples(index=False))
+    assert lab == st

@@ -206,20 +206,21 @@ def main() -> None:
         "line dedup must select first occurrences via hash aggregate, not a "
         "window over the (skewed) line key")
 
-    # 14. Gopher repetition stats: dup-gram/vocab ratios reduce to scalars
-    # IN-ROW before the explode (no second Generate carrying gram arrays)
+    # 14. Gopher repetition stats: per-doc metrics are SHUFFLE-FREE —
+    # JVM word hashes feed one Arrow pass (no gram explode, no
+    # groupBy(id, gram): the first cut shuffled 16M gram strings)
     from anofox_forecast_spark.webtext.text_stats import repetition_stats
 
     rs = repetition_stats(docs, "doc_id", "text")
     plan14 = grab(rs)
     sections.append((
-        "Gopher repetition stats (one explode, in-row scalar reduction)",
+        "Gopher repetition stats (shuffle-free: word hashes -> one Arrow pass)",
         plan14,
-        ["HashAggregate", "Generate"],
+        ["ArrowEvalPython"],
     ))
-    assert plan14.count("Generate (") == 1, (
-        "repetition stats must explode exactly once — sibling gram arrays "
-        "must reduce to scalars before the Generate")
+    assert "Exchange" not in plan14, "repetition stats must not shuffle"
+    assert plan14.count("ArrowEvalPython (") == 1, (
+        "repetition UDF must run exactly once (projection-collapse trap)")
 
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
