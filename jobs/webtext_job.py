@@ -9,7 +9,8 @@ throughput numbers but no scaling pair).
 Stages (each timed; one JSON line on stdout):
   synthesize docs+vecs -> warm python workers -> minhash-LSH dedup ->
   connected components over the minhash pairs -> simhash(k=3) dedup ->
-  embedding-LSH near-dup -> IVF ANN top-k.
+  C4 line dedup -> Gopher repetition stats -> embedding-LSH near-dup ->
+  IVF ANN top-k.
 
 The vector corpus carries near-duplicate structure (near_rate=0.08,
 ε=0.25 → cosines ≈0.94-0.97) so emb_dedup_lsh emits a real pair count
@@ -119,6 +120,16 @@ def main() -> None:
     def stage_simhash():
         return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).count()
 
+    def stage_line_dedup():
+        from anofox_forecast_spark.webtext.dedup import line_dedup
+
+        return line_dedup(docs, "doc_id", "text", tokens_per_line=12).count()
+
+    def stage_repetition():
+        from anofox_forecast_spark.webtext.text_stats import repetition_stats
+
+        return repetition_stats(docs, "doc_id", "text").count()
+
     def stage_emb_lsh():
         return embedding_near_dups(
             vecs, threshold=0.8, method="lsh", n_planes=16, n_tables=16
@@ -138,6 +149,8 @@ def main() -> None:
         counts["component_rows"] = timed("components", stage_components)
         state.pop("pairs").unpersist()
         counts["simhash_pairs"] = timed("simhash_k3", stage_simhash)
+        counts["line_dedup_docs"] = timed("line_dedup", stage_line_dedup)
+        counts["repetition_docs"] = timed("repetition", stage_repetition)
         counts["emb_pairs"] = timed("emb_dedup_lsh", stage_emb_lsh)
         counts["ivf_rows"] = timed("ivf_topk", stage_ivf)
         if it < n_rep - 1:

@@ -28,7 +28,8 @@ sys.path.insert(0, REPO)
 
 from tools.build_dist import build_pyfiles  # noqa: E402
 
-STAGES = ["minhash_lsh", "components", "simhash_k3", "emb_dedup_lsh", "ivf_topk"]
+STAGES = ["minhash_lsh", "components", "simhash_k3", "line_dedup",
+          "repetition", "emb_dedup_lsh", "ivf_topk"]
 
 
 def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dict:
