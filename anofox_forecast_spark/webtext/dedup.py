@@ -202,8 +202,11 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 7,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — min-hash signatures, shuffle-free.
+    """(id, sig: array<bigint>[, carry_cols…]) — min-hash signatures,
+    shuffle-free. ``carry_cols`` pass through untouched (the streaming
+    near-dup operator carries the event-time column this way).
 
     VERDICT r3 "what's wrong" #1 rewrite, done twice over:
 
@@ -297,47 +300,21 @@ def minhash_signatures(
     # post-filter on size(sig) gets inlined by projection collapse and the
     # plan runs the whole ArrowEvalPython pass TWICE (caught by the
     # PLANS.md single-ArrowEvalPython assertion)
+    extra = [F.col(c) for c in (carry_cols or [])]
     return (
         df.filter(F.size(words) > 0)
-        .select(F.col(id_col).alias("id"), sig_udf(wh_col).alias("sig"))
+        .select(F.col(id_col).alias("id"), sig_udf(wh_col).alias("sig"), *extra)
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    est_threshold: float = 0.5,
-    seed: int = 7,
-) -> DataFrame:
-    """LSH near-dup candidates: band-bucket join over minhash signatures.
-
-    Output: (id_a, id_b, est_jaccard) — est = fraction of equal signature
-    components; pairs surfaced if ANY band matches (standard banding).
-    """
+def band_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature frame into one row per (row, band) with a
+    64-bit ``bucket`` hash of that band's signature slice — the LSH
+    banding key. All other columns pass through. Shared by the batch
+    candidate join and the streaming near-dup operator."""
     rows_per_band = n_hashes // bands
-    # Materialize signatures ONCE: the band self-join references the sig
-    # subtree on both sides, and Spark re-executes unmaterialized subtrees
-    # per reference (measured: the whole corpus pass ran twice, doubling
-    # the stage). LAZY localCheckpoint rather than persist() (ADVICE r4):
-    # persist() registers in the CacheManager and the entry outlived the
-    # call — repeated calls in a long session accumulated cached tables
-    # until LRU eviction. A lazy local checkpoint materializes the same
-    # blocks on the first action — pipelined with the band join's shuffle
-    # write exactly like persist (eager=True was measured 1.9× slower at
-    # 8 cores: it serializes the signature job and adds a read pass; the
-    # RDD-block store also skips InMemoryRelation's columnar re-encode,
-    # measured ~30% faster than persist itself) — but is NOT
-    # catalog-tracked: the ContextCleaner frees the blocks as soon as the
-    # result is garbage-collected. At cluster scale you'd write
-    # signatures to a table between the passes.
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed
-                             ).localCheckpoint(eager=False)
-    banded = sig.select(
-        "id",
+    return sig.select(
+        "*",
         F.explode(
             F.array(*[
                 F.struct(
@@ -355,7 +332,43 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(*[c for c in sig.columns],
+             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    est_threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH near-dup candidates: band-bucket join over minhash signatures.
+
+    Output: (id_a, id_b, est_jaccard) — est = fraction of equal signature
+    components; pairs surfaced if ANY band matches (standard banding).
+    """
+    # Materialize signatures ONCE: the band self-join references the sig
+    # subtree on both sides, and Spark re-executes unmaterialized subtrees
+    # per reference (measured: the whole corpus pass ran twice, doubling
+    # the stage). LAZY localCheckpoint rather than persist() (ADVICE r4):
+    # persist() registers in the CacheManager and the entry outlived the
+    # call — repeated calls in a long session accumulated cached tables
+    # until LRU eviction. A lazy local checkpoint materializes the same
+    # blocks on the first action — pipelined with the band join's shuffle
+    # write exactly like persist (eager=True was measured 1.9× slower at
+    # 8 cores: it serializes the signature job and adds a read pass; the
+    # RDD-block store also skips InMemoryRelation's columnar re-encode,
+    # measured ~30% faster than persist itself) — but is NOT
+    # catalog-tracked: the ContextCleaner frees the blocks as soon as the
+    # result is garbage-collected. At cluster scale you'd write
+    # signatures to a table between the passes.
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed
+                             ).localCheckpoint(eager=False)
+    banded = band_buckets(sig, n_hashes, bands).select("id", "band", "bucket")
     # ids-only through the band join + pair dedup; the 64-long signature
     # arrays join back once per UNIQUE pair (r3 lesson: wide payloads
     # through explode→join→dropDuplicates dominate the shuffle)

@@ -585,6 +585,49 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    train_limit: int = 10_000,
+    seed: int = 42,
+    iters: int = 10,
+) -> DataFrame:
+    """Standing IVF index: (c_id, c_vec, bucket=cell-id-string), one row
+    per vector, centroids + training parameters stamped as metadata on
+    ``bucket`` so the probe side can assign query cells driver-side and
+    validate compatibility — the IVF twin of the grouped hyperplane
+    index (build once, probe many query batches with zero corpus
+    shuffle)."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(train_limit)
+        .collect()
+    )
+    train = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    cent = _spherical_kmeans(train, n_cells, seed, iters)
+
+    @F.pandas_udf("integer")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.array(embs.tolist(), dtype=np.float64))
+        return pd.Series((m @ cent.T).argmax(axis=1)).astype("int32")
+
+    import json
+
+    # centroids ride as a JSON string: Spark column Metadata supports
+    # scalars and flat arrays only, not nested double arrays
+    meta = {"kind": "ivf", "n_cells": n_cells, "train_limit": train_limit,
+            "seed": seed, "iters": iters,
+            "centroids": json.dumps(cent.tolist())}
+    return corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        cell_of(F.col(vec_col)).cast("string").alias("bucket"),
+    ).withMetadata("bucket", meta)
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -596,6 +639,7 @@ def ivf_cosine_topk(
     train_limit: int = 10_000,
     seed: int = 42,
     iters: int = 10,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into n_cells spherical-k-means
     cells, probe only the query's n_probe nearest cells, exact cosine on
@@ -608,7 +652,44 @@ def ivf_cosine_topk(
     ride the closure — n_cells·dim doubles, KBs); the candidate join keys
     on cell id, so fan-out per query ≈ n_probe·n/n_cells rows instead of
     n. Grow n_cells ∝ √n (IVF heuristic) to keep cells bounded.
+
+    ``corpus_index`` — a prebuilt (persisted) index from
+    ``ivf_build_index``: skips quantizer training AND corpus cell
+    assignment per call, assigns query probe cells driver-side from the
+    centroids stamped on the index metadata, and scores via the same
+    map-side broadcast-probe scan as the LSH path (zero corpus shuffle
+    per query batch).
     """
+    if corpus_index is not None:
+        meta = dict(corpus_index.schema["bucket"].metadata or {})
+        if meta.get("kind") != "ivf":
+            raise ValueError(
+                "corpus_index is not an IVF index — build it with "
+                "ivf_build_index (metadata missing/kind mismatch)")
+        want = {"n_cells": n_cells, "train_limit": train_limit,
+                "seed": seed, "iters": iters}
+        got = {kk: meta.get(kk) for kk in want}
+        if got != want:
+            raise ValueError(
+                f"ivf index parameters don't match this call "
+                f"(index={got}, call={want})")
+        import json
+
+        cent = np.array(json.loads(meta["centroids"]), dtype=np.float64)
+        n_probe_eff = min(n_probe, cent.shape[0])
+        q_pdf = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).toPandas()
+        if len(q_pdf):
+            Qm = _normalize_rows(np.array(q_pdf["q_vec"].tolist(),
+                                          dtype=np.float64))
+            top = np.argsort(-(Qm @ cent.T), axis=1)[:, :n_probe_eff]
+            idx = np.repeat(np.arange(len(q_pdf)), n_probe_eff)
+            qb_pdf = q_pdf.iloc[idx].reset_index(drop=True)
+            qb_pdf["bucket"] = top.ravel().astype(str)
+        else:
+            qb_pdf = q_pdf.assign(bucket=pd.Series(dtype=str))
+        return _broadcast_probe_topk(corpus_index, qb_pdf, k)
 
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))

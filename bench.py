@@ -203,6 +203,16 @@ def main() -> None:
     probe()
     wtimed("wx_ann_lsh_topk", probe)
     ann_idx.unpersist()
+    from anofox_forecast_spark.webtext.similarity import ivf_build_index, ivf_cosine_topk
+
+    ivf_idx = ivf_build_index(emb_c, n_cells=64).persist()
+    wtimed("wx_ivf_index_build", ivf_idx.count)
+    ivf_probe = lambda: ivf_cosine_topk(  # noqa: E731
+        emb_c, emb_c.filter(F.col("vec_id") < n_q), k=5, n_cells=64,
+        n_probe=8, corpus_index=ivf_idx).count()
+    ivf_probe()
+    wtimed("wx_ann_ivf_topk", ivf_probe)
+    ivf_idx.unpersist()
     emb_u = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=0,
                                   near_rate=0.08, seed=7)
     wtimed("wx_dedup_embedding_lsh", lambda: embedding_near_dups(

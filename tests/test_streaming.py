@@ -111,3 +111,43 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(got) == 20  # one survivor per distinct text
     assert sorted(got["text"].tolist()) == sorted(texts)
     assert got["content_hash"].nunique() == 20
+
+
+def test_streaming_minhash_near_dups(spark, tmp_path):
+    """Near-dup pairs surface across micro-batches: a batch-2 document
+    near-identical to a batch-1 document is paired with the batch-1
+    anchor; unrelated documents never pair."""
+    import datetime as dt
+
+    from anofox_forecast_spark.streaming import streaming_minhash_near_dups
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    near = base.replace("tonight", "tomorrow")
+    other = ("completely different content about spark rollup tiers and "
+             "continuous aggregates with watermarks and state stores")
+    b1 = [(0, t0, base), (1, t0 + dt.timedelta(minutes=1), other)]
+    b2 = [(2, t0 + dt.timedelta(minutes=10), near),
+          (3, t0 + dt.timedelta(minutes=11), "tiny doc")]
+    ddl = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "neardup_stream")
+    spark.createDataFrame(b1, ddl).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, ddl).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ddl).parquet(src)
+    pairs = streaming_minhash_near_dups(stream, watermark="2 hours")
+    assert pairs.isStreaming
+    q = (
+        pairs.writeStream.format("memory").queryName("neardup_pairs")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select distinct anchor_id, dup_id from neardup_pairs").toPandas()
+    found = set(map(tuple, got.to_numpy()))
+    assert (0, 2) in found          # cross-batch near-dup anchored at 0
+    bad = {p for p in found if 1 in p or 3 in p}
+    assert not bad, f"unrelated docs paired: {bad}"

@@ -782,3 +782,34 @@ def test_connected_components_star(spark):
     st = dict(connected_components(rdf, method="star")
               .toPandas().itertuples(index=False))
     assert lab == st
+
+
+def test_ivf_probe_index_parity(spark):
+    """IVF probing over a prebuilt index (driver-side cell assignment +
+    map-side scan) must return exactly the one-shot path's results, and
+    a parameter-mismatched index must be rejected."""
+    import pytest
+
+    from anofox_forecast_spark.webtext.similarity import ivf_build_index
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 32))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(25):
+            v = centers[c] + rng.normal(0, 0.3, 32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.limit(6)
+    base = ivf_cosine_topk(df, queries, k=5, n_cells=8, n_probe=3).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    idx = ivf_build_index(df, n_cells=8)
+    got = ivf_cosine_topk(df, queries, k=5, n_cells=8, n_probe=3,
+                          corpus_index=idx).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == \
+        base[["query_id", "neighbor_id", "rank"]].values.tolist()
+    with pytest.raises(ValueError, match="parameters don't match"):
+        ivf_cosine_topk(df, queries, k=5, n_cells=16, corpus_index=idx)
