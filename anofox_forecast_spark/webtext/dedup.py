@@ -301,9 +301,14 @@ def minhash_signatures(
     # plan runs the whole ArrowEvalPython pass TWICE (caught by the
     # PLANS.md single-ArrowEvalPython assertion)
     extra = [F.col(c) for c in (carry_cols or [])]
+    # hash-family parameters ride as column metadata (they survive
+    # select/persist AND a parquet round-trip), so a stored signature
+    # table can be validated before an incremental pass joins against it
     return (
         df.filter(F.size(words) > 0)
         .select(F.col(id_col).alias("id"), sig_udf(wh_col).alias("sig"), *extra)
+        .withMetadata("sig", {"n_hashes": n_hashes, "shingle_n": shingle_n,
+                              "seed": seed})
     )
 
 
@@ -393,6 +398,73 @@ def minhash_lsh_candidates(
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+
+
+def minhash_lsh_candidates_incremental(
+    new_docs: DataFrame,
+    existing_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    est_threshold: float = 0.5,
+    seed: int = 7,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental near-dup pass for a corpus INCREMENT (e.g. a day's
+    crawl) against a standing signature store: returns
+    ``(pairs, new_sig)`` where pairs covers new×new and new×old
+    candidates (id_a < id_b, est ≥ threshold) and ``new_sig`` is the
+    increment's signature table for the caller to append to the store.
+
+    The 100-TB ingestion shape: signatures are computed ONLY for the
+    increment (the store is scanned, never re-hashed — the expensive
+    Arrow pass runs over |new| docs, not |corpus|), the band join is
+    new-side × full-side so its output is bounded by the increment's
+    collisions, and old×old pairs (already known from previous passes)
+    are never re-emitted. Parameter safety: minhash_signatures stamps
+    (n_hashes, shingle_n, seed) as column metadata — which survives a
+    parquet round-trip — and a store hashed with different parameters
+    is rejected instead of silently producing zero collisions.
+    """
+    meta = dict(existing_sig.schema["sig"].metadata or {})
+    want = {"n_hashes": n_hashes, "shingle_n": shingle_n, "seed": seed}
+    if meta and {kk: meta.get(kk) for kk in want} != want:
+        raise ValueError(
+            f"existing_sig hash-family mismatch (store={meta}, call={want}) "
+            "— signatures from different parameters never collide")
+    new_sig = minhash_signatures(
+        new_docs, id_col, text_col, n_hashes, shingle_n, seed
+    ).localCheckpoint(eager=False)
+    all_sig = existing_sig.select("id", "sig").unionByName(
+        new_sig.select("id", "sig"))
+    new_banded = band_buckets(new_sig, n_hashes, bands).select(
+        "id", "band", "bucket")
+    all_banded = band_buckets(all_sig, n_hashes, bands).select(
+        "id", "band", "bucket")
+    cand = (
+        new_banded.alias("a")
+        .join(all_banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = all_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(n_hashes)
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return pairs, new_sig
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -813,3 +813,47 @@ def test_ivf_probe_index_parity(spark):
         base[["query_id", "neighbor_id", "rank"]].values.tolist()
     with pytest.raises(ValueError, match="parameters don't match"):
         ivf_cosine_topk(df, queries, k=5, n_cells=16, corpus_index=idx)
+
+
+def test_minhash_incremental_matches_full(spark, tmp_path):
+    """Incremental pass over a corpus increment against a stored
+    signature table finds exactly the full-corpus pairs that involve a
+    new document; old-vs-old pairs are not re-emitted; a store hashed
+    with different parameters is rejected; metadata survives parquet."""
+    import pytest
+
+    from anofox_forecast_spark.webtext.dedup import (
+        minhash_lsh_candidates_incremental,
+        minhash_signatures,
+    )
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, size=50)) for _ in range(30)]
+    texts[25] = texts[2]               # new doc exact-dups an old doc
+    texts[26] = texts[3].replace(texts[3].split()[5], "zzz")  # near-dup
+    texts[28] = texts[27]              # new-new exact dup
+    rows = [(i, t) for i, t in enumerate(texts)]
+    old = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    new = spark.createDataFrame(rows[20:], "doc_id long, text string")
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(n_hashes=32, bands=8, est_threshold=0.3)
+    full_pairs = minhash_lsh_candidates(full, "doc_id", "text", **kw).toPandas()
+    want = {tuple(r) for r in full_pairs[["id_a", "id_b"]].to_numpy()
+            if r[1] >= 20}  # pairs touching a new doc (id_a < id_b)
+
+    # store round-trips through parquet (metadata must survive)
+    store_path = str(tmp_path / "sig_store")
+    minhash_signatures(old, "doc_id", "text", n_hashes=32).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    pairs, new_sig = minhash_lsh_candidates_incremental(
+        new, store, "doc_id", "text", **kw)
+    got = {tuple(r) for r in pairs.toPandas()[["id_a", "id_b"]].to_numpy()}
+    assert got == want
+    assert (2, 25) in got and (27, 28) in got
+    assert new_sig.count() == 10
+    # parameter mismatch rejected (store was hashed with n_hashes=32)
+    with pytest.raises(ValueError, match="hash-family mismatch"):
+        minhash_lsh_candidates_incremental(
+            new, store, "doc_id", "text", n_hashes=64, bands=8)
