@@ -23,6 +23,13 @@ from anofox_forecast_spark.webtext.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from anofox_forecast_spark.webtext.pipeline import (
+    decontaminate,
+    mixture_sample,
+    pack_greedy,
+    pack_sequences,
+    tfidf_topk,
+)
 from anofox_forecast_spark.webtext.text_stats import (
     STOPWORDS,
     language_id,
@@ -521,6 +528,201 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=8)
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    held-out eval set; the rest are the training corpus. 4-gram word
+    overlap (the GPT-3-style n-gram decontamination pass at a width that
+    produces a mixed verdict on the synthetic vocab)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=4, min_overlap=1)
+
+
+def sql_text_decontaminate():
+    """DuckDB twin of webtext/pipeline.py decontaminate: identical
+    tokenizer (the jaccard oracle's regex), identical shingling contract
+    (docs shorter than n contribute ONE partial shingle), distinct
+    n-grams both sides, left join so clean docs report n_overlap = 0."""
+    return r"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT DISTINCT
+                   array_to_string(list_slice(w, i + 1, i + 4), ' ') AS g
+            FROM words,
+                 UNNEST(range(0, greatest(len(w) - 4, 0) + 1)) AS t(i)
+            WHERE doc_id % 50 = 0
+        ),
+        bg_ne AS (SELECT g FROM bg WHERE g <> ''),
+        cg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i + 1, i + 4), ' ') AS g
+            FROM words,
+                 UNNEST(range(0, greatest(len(w) - 4, 0) + 1)) AS t(i)
+            WHERE doc_id % 50 <> 0
+        ),
+        cg_ne AS (SELECT doc_id, g FROM cg WHERE g <> ''),
+        hits AS (
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM cg_ne c JOIN bg_ne b USING (g)
+            GROUP BY 1
+        )
+        SELECT d.doc_id AS id,
+               coalesce(h.n_overlap, 0) AS n_overlap,
+               coalesce(h.n_overlap, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def q_text_tfidf(spark, sf_dir):
+    return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=5)
+
+
+def sql_text_tfidf():
+    """DuckDB twin of webtext/pipeline.py tfidf_topk: same tokenizer,
+    sklearn smooth-idf formula, 6dp round BEFORE ranking so the
+    row_number tie-break (score desc, term asc) is decided on identical
+    values in both engines."""
+    return r"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +') AS w
+            FROM documents
+        ),
+        terms AS (
+            SELECT doc_id, t.term
+            FROM words, UNNEST(w) AS t(term)
+            WHERE t.term <> ''
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM terms GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf,
+                   round(tf * (ln((1.0 + n.n) / (1.0 + dfc)) + 1.0), 6) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT doc_id AS id, term, tf, score, rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic training-mixture downsample: keep 60% of src0, 30%
+    of src1, 10% of everything else, decided by an engine-portable LCG
+    hash of doc_id (identical keep set in the DuckDB twin)."""
+    kept = mixture_sample(
+        _docs(spark, sf_dir), "doc_id", "source",
+        {"src0": 0.6, "src1": 0.3}, default_rate=0.1,
+    )
+    return kept.select("doc_id", "source", "sample_rate")
+
+
+def sql_mixture_sample():
+    return """
+        SELECT doc_id, source,
+               CAST(CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+                    ELSE 0.1 END AS DOUBLE) AS sample_rate
+        FROM documents
+        WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+              < 2147483648.0 * CASE source WHEN 'src0' THEN 0.6
+                                           WHEN 'src1' THEN 0.3
+                                           ELSE 0.1 END
+    """
+
+
+def q_pack_spans(spark, sf_dir):
+    """Streaming-concatenation sequence packing over n_chars with a
+    2048-char budget, 8 packing shards per domain."""
+    return pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "source", "n_chars",
+        budget=2048, shards=8,
+    )
+
+
+def sql_pack_spans():
+    return """
+        WITH base AS (
+            SELECT doc_id AS id, source AS domain, doc_id % 8 AS shard,
+                   CAST(n_chars AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT *,
+                   sum(n_tokens) OVER (
+                       PARTITION BY domain, shard ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start
+            FROM base
+        )
+        SELECT id, domain, shard, n_tokens,
+               CAST(floor(start / 2048) AS BIGINT) AS bin_id,
+               start % 2048 AS bin_offset
+        FROM c
+    """
+
+
+def q_pack_greedy(spark, sf_dir):
+    """Strict-capacity greedy packing (applyInPandas per (domain, shard)
+    stream); oracled via a DuckDB recursive CTE replaying the same fold."""
+    return pack_greedy(
+        _docs(spark, sf_dir), "doc_id", "source", "n_chars",
+        budget=2048, shards=8,
+    )
+
+
+def sql_pack_greedy():
+    """Recursive-CTE replay of the greedy fold: step row-by-row through
+    each (domain, shard) stream carrying (bin_id, fill), opening a new
+    bin when fill > 0 and fill + next > budget — clause-for-clause the
+    applyInPandas loop in webtext/pipeline.py pack_greedy."""
+    return """
+        WITH RECURSIVE base AS (
+            SELECT doc_id AS id, source AS domain, doc_id % 8 AS shard,
+                   CAST(n_chars AS BIGINT) AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY source, doc_id % 8 ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        step AS (
+            SELECT id, domain, shard, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.id, b.domain, b.shard, b.n_tokens, b.rn,
+                   CASE WHEN s.bin_fill > 0
+                             AND s.bin_fill + b.n_tokens > 2048
+                        THEN s.bin_id + 1 ELSE s.bin_id END,
+                   CASE WHEN s.bin_fill > 0
+                             AND s.bin_fill + b.n_tokens > 2048
+                        THEN b.n_tokens ELSE s.bin_fill + b.n_tokens END
+            FROM step s
+            JOIN base b ON b.domain = s.domain AND b.shard = s.shard
+                       AND b.rn = s.rn + 1
+        )
+        SELECT id, domain, shard, n_tokens, bin_id, bin_fill FROM step
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -541,6 +743,11 @@ def build_queries():
         "text_repetition": q_text_repetition,
         "dedup_lines": q_dedup_lines,
         "dedup_semantic": q_dedup_semantic,
+        "text_decontaminate": q_text_decontaminate,
+        "text_tfidf": q_text_tfidf,
+        "mixture_sample": q_mixture_sample,
+        "pack_spans": q_pack_spans,
+        "pack_greedy": q_pack_greedy,
     }
 
 
@@ -558,6 +765,11 @@ def build_oracle_sql():
         "text_term_stats": sql_text_term_stats(),
         "text_repetition": sql_text_repetition(),
         "dedup_lines": sql_dedup_lines(),
+        "text_decontaminate": sql_text_decontaminate(),
+        "text_tfidf": sql_text_tfidf(),
+        "mixture_sample": sql_mixture_sample(),
+        "pack_spans": sql_pack_spans(),
+        "pack_greedy": sql_pack_greedy(),
         # dedup_semantic intentionally omitted → rows-only (k-means
         # quantizer has no DuckDB twin)
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →

@@ -1,0 +1,306 @@
+"""Training-data pipeline operators beyond dedup: benchmark
+decontamination, TF-IDF term ranking, deterministic mixture sampling,
+and sequence packing. No reference counterpart (the reference is a
+forecasting engine); these are the corpus-preparation stages an LLM
+training pipeline runs between dedup and tokenization, implemented
+Spark-first.
+
+Scale notes (100 TB):
+- decontaminate: the benchmark side is small (benchmark suites are
+  thousands of documents → at most a few hundred million n-grams);
+  the corpus side is a flatMap (no shuffle) joined BROADCAST against
+  the benchmark n-gram set, so corpus bytes never shuffle — only the
+  matched (doc, gram) survivors reach the per-doc aggregate.
+- tfidf_topk: two hash aggregates (per (doc, term) and per term) plus
+  one shuffle join on term; the document-frequency side is vocab-sized,
+  orders of magnitude smaller than the corpus.
+- mixture_sample: pure per-row predicate, whole-stage codegen, no
+  shuffle at all.
+- pack_sequences: packing is inherently sequential per bin stream, so
+  the operator shards the corpus (domain, shard) and packs each shard
+  independently — parallelism is #domains × #shards, and bin ids are
+  unique per (domain, shard, bin).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+from .text_stats import _tokens
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+
+
+def _shingles(text_col, n: int):
+    """Word n-gram strings from the punctuation-stripping tokenizer —
+    identical contract to ngram_jaccard_pairs (webtext/dedup.py): docs
+    shorter than n contribute ONE partial shingle; empty docs none."""
+    w = F.array_remove(_tokens(F.col(text_col)), "")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    return F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+        lambda s: s != "",
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag corpus documents that share any word ``n``-gram with a
+    benchmark/eval set (the standard train-test decontamination pass;
+    e.g. GPT-3 appendix C uses 13-gram overlap).
+
+    Returns (id, n_overlap, contaminated): ``n_overlap`` counts the
+    DISTINCT benchmark n-grams the document contains, ``contaminated``
+    is ``n_overlap >= min_overlap``. Clean documents appear with
+    n_overlap = 0, so the output is a full per-document verdict, not
+    just the hit list.
+
+    Plan shape: benchmark n-grams are deduped and broadcast; the corpus
+    explodes its n-grams (flatMap, no shuffle) straight into the
+    broadcast hash join, and only MATCHING (doc, gram) rows reach the
+    per-doc count-distinct aggregate — deduplication of a document's
+    repeated n-grams happens after the join, so the corpus gram
+    multiset itself never shuffles.
+    """
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(_shingles(text_col, n)).alias("__g")
+        ).distinct()
+    )
+    corpus_ids = corpus.select(F.col(id_col).alias("id"))
+    hits = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(text_col, n)).alias("__g"),
+        )
+        .join(bench_grams, "__g")
+        .groupBy("id")
+        .agg(F.count_distinct("__g").alias("n_overlap"))
+    )
+    return (
+        corpus_ids.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, tf, score, rank).
+
+    tf is the raw in-document term count; idf is the smoothed
+    ``ln((1 + N) / (1 + df)) + 1`` (sklearn's smooth_idf formula —
+    public); score = tf * idf rounded to 6dp. Ranking orders by
+    (rounded score desc, term asc) so ties are broken lexically —
+    deterministic across engines regardless of float ulp drift.
+
+    N comes from a zero-column count branch (row-group metadata only)
+    crossJoined broadcast, same single-pass trick as term_stats; pass
+    ``n_docs`` to drop the branch when N is already known.
+    """
+    words = F.array_remove(_tokens(F.col(text_col)), "")
+    terms = df.select(
+        F.col(id_col).alias("id"), F.explode(words).alias("term")
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    scored = tf.join(dfreq, "term")
+    if n_docs is None:
+        counted = F.broadcast(df.agg(F.count("*").alias("__n")))
+        scored = scored.crossJoin(counted)
+        n_col = F.col("__n").cast("double")
+    else:
+        n_col = F.lit(float(n_docs))
+    score = F.round(
+        F.col("tf") * (F.log((1.0 + n_col) / (1.0 + F.col("__df"))) + 1.0), 6
+    )
+    scored = scored.select("id", "term", "tf", score.alias("score"))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling
+
+_LCG_MOD = 2_147_483_648  # 2^31
+_LCG_MUL = 1_103_515_245
+_LCG_ADD = 12_345
+
+
+def _lcg_uniform(id_col):
+    """Engine-portable deterministic uniform in [0, 1): one glibc-style
+    LCG step on the id, all int64 arithmetic (id is reduced mod 2^31
+    first so the multiply never overflows int64 — DuckDB raises on
+    bigint overflow rather than wrapping, so wrap-dependent hashes like
+    splitmix64/xxhash are not portable). At production scale swap in
+    ``F.xxhash64(id, seed)`` — the LCG exists so the DuckDB correctness
+    oracle can replay the identical keep decision."""
+    h = (F.col(id_col) % _LCG_MOD) * _LCG_MUL + _LCG_ADD
+    return (h % _LCG_MOD).cast("double") / float(_LCG_MOD)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-domain downsampling for training-mixture
+    construction: keep a row iff ``u(id) < rate(domain)`` where u is a
+    deterministic uniform hash of the id. Rows from domains absent from
+    ``rates`` use ``default_rate``. Returns the kept rows with an extra
+    ``sample_rate`` column.
+
+    Idempotent and stable: re-running on the same ids keeps the same
+    rows (unlike ``df.sample``, which depends on partition layout), so
+    a resumed 100-TB job reproduces its sample exactly. Pure per-row
+    predicate — whole-stage codegen, no shuffle, fully pushdown-safe.
+    """
+    for d, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for domain {d!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    rate = F.lit(float(default_rate))
+    for d, r in rates.items():
+        rate = F.when(F.col(domain_col) == d, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("sample_rate", rate).filter(
+        _lcg_uniform(id_col) < F.col("sample_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Span-start sequence packing: assign documents (ordered by id
+    within a (domain, shard) stream) to fixed token-budget bins, where
+    a document belongs to the bin its FIRST token falls in under a
+    running concatenation. Returns (id, domain, shard, n_tokens,
+    bin_id, bin_offset).
+
+    This is the streaming-concatenation packing LLM data loaders use
+    (documents are laid end-to-end and sliced every ``budget`` tokens);
+    a document may straddle its bin's end — use :func:`pack_greedy` for
+    strict capacity bins. Expressible as one window cumsum, so it has a
+    plain-SQL twin and one shuffle on (domain, shard).
+
+    Packing is sequential per stream, so parallelism comes from
+    sharding: shard = id mod ``shards`` keeps every CPU busy and makes
+    bin ids reproducible regardless of cluster layout. At 100 TB pick
+    shards >> cores; each shard's window is an independent task.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        (F.col(id_col) % shards).alias("shard"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("domain", "shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "id",
+        "domain",
+        "shard",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("bin_id"),
+        (start % budget).alias("bin_offset"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Strict-capacity greedy packing: walk each (domain, shard) stream
+    in id order and start a new bin whenever the next document would
+    push the current bin past ``budget``. No bin exceeds the budget
+    unless a single document alone does (it then gets its own bin).
+    Returns (id, domain, shard, n_tokens, bin_id, bin_fill) where
+    bin_fill is the running token count inside the bin after the doc.
+
+    The running reset makes this non-expressible as a fixed window
+    frame, so each stream is packed in one Arrow-batched grouped pass
+    (applyInPandas over (domain, shard) — same sharded parallelism as
+    :func:`pack_sequences`).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        (F.col(id_col) % shards).alias("shard"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins, fills = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            fill += t
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    schema = (
+        "id long, domain string, shard long, n_tokens long, "
+        "bin_id long, bin_fill long"
+    )
+    return base.groupBy("domain", "shard").applyInPandas(_pack, schema=schema)

@@ -1,0 +1,211 @@
+"""Training-pipeline operators: decontamination, TF-IDF, mixture
+sampling, sequence packing (webtext/pipeline.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark.webtext.pipeline import (
+    decontaminate,
+    mixture_sample,
+    pack_greedy,
+    pack_sequences,
+    tfidf_topk,
+)
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta", "web"),
+    (1, "alpha beta gamma delta other words here", "web"),
+    (2, "totally unrelated text about spark plans", "web"),
+    (3, "alpha beta gamma delta epsilon zeta", "books"),
+    (4, "one two three four five six seven eight", "books"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    out = {
+        r["id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    # doc 1 shares "alpha beta gamma delta" (one 4-gram); doc 3 is an
+    # exact dup of the benchmark doc (all three of its 4-grams)
+    assert out[1] == (1, True)
+    assert out[3] == (3, True)
+    # clean docs are present with a zero count, not silently absent
+    assert out[2] == (0, False)
+    assert out[4] == (0, False)
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    out = {
+        r["id"]: r["contaminated"]
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", n=4, min_overlap=2
+        ).collect()
+    }
+    assert out[1] is False  # single shared 4-gram below threshold
+    assert out[3] is True
+
+
+def test_decontaminate_short_doc_partial_shingle(spark):
+    # a doc shorter than n contributes ONE partial shingle (the whole
+    # doc), matching the ngram_jaccard shingling contract
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    out = {
+        r["id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert out[1] is True
+    assert out[2] is False
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk
+
+
+def test_tfidf_ranking_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(0, "rare rare common"), (1, "common boring"), (2, "common boring")],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["term"], r["tf"]))
+    # doc 0: "rare" (tf=2, df=1) must outrank "common" (tf=1, df=3)
+    assert sorted(by_doc[0])[0][1] == "rare"
+    # docs 1 and 2 tie "boring" vs "common" on tf; boring has lower df so
+    # higher idf → rank 1
+    assert sorted(by_doc[1])[0][1] == "boring"
+    # k bound respected
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_n_docs_param_matches_counted_branch(spark):
+    docs = _docs(spark)
+    a = tfidf_topk(docs, "doc_id", "text", k=3)
+    b = tfidf_topk(docs, "doc_id", "text", k=3, n_docs=docs.count())
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+
+
+def test_mixture_sample_deterministic_and_rate_column(spark):
+    docs = _docs(spark)
+    kept1 = mixture_sample(docs, "doc_id", "source", {"web": 1.0}, 0.0)
+    kept2 = mixture_sample(docs, "doc_id", "source", {"web": 1.0}, 0.0)
+    rows1 = sorted(r["doc_id"] for r in kept1.collect())
+    rows2 = sorted(r["doc_id"] for r in kept2.collect())
+    assert rows1 == rows2 == [0, 1, 2]  # rate 1.0 keeps all web docs
+    rates = {r["source"]: r["sample_rate"] for r in kept1.collect()}
+    assert rates == {"web": 1.0}
+
+
+def test_mixture_sample_monotone_in_rate(spark):
+    # the keep set at a lower rate is a subset of the keep set at a
+    # higher rate (same hash, threshold comparison) — the property that
+    # makes mixture re-weighting reproducible across runs
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source")
+    )
+    lo = {r["doc_id"] for r in
+          mixture_sample(docs, "doc_id", "source", {"web": 0.2}).collect()}
+    hi = {r["doc_id"] for r in
+          mixture_sample(docs, "doc_id", "source", {"web": 0.6}).collect()}
+    assert lo <= hi
+    # rates are roughly honored on 500 uniform ids
+    assert 0.1 <= len(lo) / 500 <= 0.3
+    assert 0.45 <= len(hi) / 500 <= 0.75
+
+
+def test_mixture_sample_validates_rates(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "source", {"web": 1.5})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "source", {}, default_rate=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def _sized(spark):
+    rows = [(i, "d%d" % (i % 2), 300 + 100 * (i % 5)) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, source string, nt long")
+
+
+def test_pack_sequences_span_semantics(spark):
+    out = pack_sequences(
+        _sized(spark), "doc_id", "source", "nt", budget=1000, shards=2
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        # offset is the doc's start position inside its bin
+        assert 0 <= r["bin_offset"] < 1000
+        assert r["bin_id"] >= 0
+        assert r["shard"] == r["id"] % 2
+    # within a stream, (bin_id, bin_offset) is strictly increasing in id
+    streams = {}
+    for r in sorted(out, key=lambda r: r["id"]):
+        key = (r["domain"], r["shard"])
+        pos = r["bin_id"] * 1000 + r["bin_offset"]
+        assert streams.get(key, -1) < pos
+        streams[key] = pos
+
+
+def test_pack_greedy_capacity_strict(spark):
+    out = pack_greedy(
+        _sized(spark), "doc_id", "source", "nt", budget=1000, shards=2
+    ).collect()
+    assert len(out) == 40
+    # no bin ever exceeds the budget (all docs fit individually here)
+    fills = {}
+    for r in out:
+        key = (r["domain"], r["shard"], r["bin_id"])
+        fills[key] = max(fills.get(key, 0), r["bin_fill"])
+        assert r["bin_fill"] <= 1000
+    # bins are reasonably full: every bin except possibly the last of
+    # each stream could not have accepted the next doc
+    assert len(fills) < 40  # actually packs (not one doc per bin)
+
+
+def test_pack_greedy_oversized_doc_gets_own_bin(spark):
+    rows = [(0, "d", 500), (1, "d", 5000), (2, "d", 500)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, nt long")
+    out = {r["id"]: r for r in
+           pack_greedy(docs, "doc_id", "source", "nt",
+                       budget=1000, shards=1).collect()}
+    assert out[0]["bin_id"] == 0
+    assert out[1]["bin_id"] == 1 and out[1]["bin_fill"] == 5000
+    assert out[2]["bin_id"] == 2  # oversized doc closed its bin
+
+
+def test_pack_validates_params(spark):
+    docs = _sized(spark)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "source", "nt", budget=0)
+    with pytest.raises(ValueError):
+        pack_greedy(docs, "doc_id", "source", "nt", budget=100, shards=0)

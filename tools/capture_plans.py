@@ -222,6 +222,64 @@ def main() -> None:
     assert plan14.count("ArrowEvalPython (") == 1, (
         "repetition UDF must run exactly once (projection-collapse trap)")
 
+    # 15. benchmark decontamination: the corpus gram explode must feed a
+    # BROADCAST hash join (benchmark side broadcast) — the corpus gram
+    # multiset never shuffles; only matched survivors reach the
+    # count-distinct aggregate
+    from anofox_forecast_spark.webtext.pipeline import (
+        decontaminate,
+        mixture_sample,
+        pack_sequences,
+        tfidf_topk,
+    )
+
+    bench_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    corp_docs = docs.filter(F.col("doc_id") % 50 != 0)
+    dc = decontaminate(corp_docs, bench_docs, "doc_id", "text", n=4)
+    plan15 = grab(dc)
+    sections.append((
+        "Benchmark decontamination (corpus grams -> broadcast join, no corpus shuffle)",
+        plan15,
+        ["BroadcastHashJoin", "Generate"],
+    ))
+    assert "SortMergeJoin" not in plan15.split("HashAggregate")[0], (
+        "the gram-overlap join must broadcast the benchmark side")
+
+    # 16. mixture sampling: pure per-row predicate — NO shuffle anywhere
+    ms = mixture_sample(docs, "doc_id", "source", {"src0": 0.5}, 0.1)
+    plan16 = grab(ms)
+    sections.append((
+        "Deterministic mixture sampling (codegen filter, shuffle-free)",
+        plan16,
+        ["Filter"],
+    ))
+    assert "Exchange" not in plan16, "mixture sampling must not shuffle"
+    assert "ArrowEvalPython" not in plan16 and "BatchEvalPython" not in plan16, (
+        "the LCG keep predicate must stay JVM-side")
+
+    # 17. TF-IDF: two hash aggregates + the zero-column broadcast count
+    # branch (row-group metadata only) — no eager df.count() scan
+    ti = tfidf_topk(docs, "doc_id", "text", k=5)
+    plan17 = grab(ti)
+    sections.append((
+        "TF-IDF top-k (hash aggs; N via zero-column broadcast count branch)",
+        plan17,
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+    ))
+
+    # 18. sequence packing: exactly ONE shuffle — the hash partitioning
+    # on (domain, shard) feeding the per-stream cumsum window
+    pk = pack_sequences(docs.withColumn("nt", F.col("n_chars")),
+                        "doc_id", "source", "nt", budget=2048, shards=8)
+    plan18 = grab(pk)
+    sections.append((
+        "Sequence packing (one Exchange on (domain, shard) -> window cumsum)",
+        plan18,
+        ["Window", "Exchange"],
+    ))
+    assert plan18.count("Exchange (") == 1, (
+        "span packing must shuffle exactly once, on the packing stream key")
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
