@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from anofox_forecast_spark.webtext.dedup import (
     embedding_near_dups,
     exact_dedup,
+    exact_dedup_incremental,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -528,6 +529,36 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=8)
 
 
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Bloom-prefiltered incremental exact dedup, re-crawl scenario:
+    docs with doc_id % 3 == 0 play the standing corpus; the increment is
+    the remaining docs PLUS re-fetches of every ninth doc (byte-identical
+    text, so they must come back flagged as dups — the synthetic corpus
+    has no cross-doc exact dups at this sf, so the re-fetch overlap is
+    what exercises the positive path). The Bloom filter is an
+    optimization only — output equals a plain left join, which is
+    exactly what the oracle runs."""
+    docs = _docs(spark, sf_dir)
+    standing = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(
+        (F.col("doc_id") % 3 != 0) | (F.col("doc_id") % 9 == 0)
+    )
+    return exact_dedup_incremental(new, standing, "doc_id", "text")
+
+
+def sql_dedup_exact_incremental():
+    return """
+        SELECT n.doc_id AS id,
+               m.dup_of IS NOT NULL AS is_dup,
+               m.dup_of
+        FROM (SELECT doc_id, text FROM documents
+              WHERE doc_id % 3 <> 0 OR doc_id % 9 = 0) n
+        LEFT JOIN (SELECT text, CAST(min(doc_id) AS BIGINT) AS dup_of
+                   FROM documents WHERE doc_id % 3 = 0 GROUP BY 1) m
+          USING (text)
+    """
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 50 == 0 play the
     held-out eval set; the rest are the training corpus. 4-gram word
@@ -743,6 +774,7 @@ def build_queries():
         "text_repetition": q_text_repetition,
         "dedup_lines": q_dedup_lines,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
         "text_decontaminate": q_text_decontaminate,
         "text_tfidf": q_text_tfidf,
         "mixture_sample": q_mixture_sample,
@@ -765,6 +797,7 @@ def build_oracle_sql():
         "text_term_stats": sql_text_term_stats(),
         "text_repetition": sql_text_repetition(),
         "dedup_lines": sql_dedup_lines(),
+        "dedup_exact_incremental": sql_dedup_exact_incremental(),
         "text_decontaminate": sql_text_decontaminate(),
         "text_tfidf": sql_text_tfidf(),
         "mixture_sample": sql_mixture_sample(),

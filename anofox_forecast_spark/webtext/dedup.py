@@ -56,6 +56,108 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _bloom_index_cols(hash_col, bloom_bits: int, n_probes: int):
+    """k independent probe indices from a sha256 hex digest, computed
+    JVM-side: 8-hex-char (32-bit) slices of the digest, conv'd to long
+    and reduced mod bloom_bits. sha256 output bits are independent, so
+    disjoint slices act as k independent hash functions."""
+    return F.array(*[
+        (F.conv(F.substring(hash_col, 1 + 8 * j, 8), 16, 10).cast("long")
+         % bloom_bits).alias(f"__i{j}")
+        for j in range(n_probes)
+    ])
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    standing_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bloom_bits: int = 1 << 23,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Exact-dedup a corpus increment (e.g. one day's crawl) against a
+    standing corpus WITHOUT shuffling the standing side: returns one row
+    per new document — (id, is_dup, dup_of) where dup_of is the minimum
+    standing id holding byte-identical text (null when the document is
+    genuinely new).
+
+    Scale shape (the Spark runtime-filter pattern, applied corpus-wide):
+    the increment is the small side, so a Bloom filter of ITS content
+    hashes is built distributedly (per-partition numpy bitmaps OR-merged
+    on the driver — #partitions × bits/8 bytes of control-plane traffic)
+    and shipped to a probe over the standing store. The standing corpus
+    is scanned ONCE, never shuffled; only Bloom-positive survivors
+    (true matches + the false-positive fraction ≈ (1-e^{-kn/m})^k) enter
+    the exact hash join against the increment. False positives cost
+    only surplus join rows — the output is exactly the left join's, so
+    the operator has a plain-SQL twin despite the sketch in the middle.
+
+    Sizing: defaults (m=2^23 bits = 1 MiB, k=4) hold ~1M increment
+    hashes at <3% false positives; scale ``bloom_bits`` with the
+    increment, and for multi-GiB filters ship via
+    ``SparkContext.broadcast`` instead of the UDF closure.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    h_new = F.sha2(F.col(text_col), 256)
+    new_h = new_df.select(
+        F.col(id_col).alias("id"),
+        h_new.alias("__h"),
+        _bloom_index_cols(h_new, bloom_bits, n_probes).alias("__idx"),
+    )
+
+    n_bytes = bloom_bits // 8
+
+    def _partial_blooms(batches):
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for arr in pdf["__idx"]:
+                idx = np.asarray(arr, dtype=np.int64)
+                np.bitwise_or.at(bitmap, idx >> 3,
+                                 np.left_shift(1, idx & 7).astype(np.uint8))
+            seen = seen or len(pdf) > 0
+        if seen:
+            yield pd.DataFrame({"bits": [bitmap.tobytes()]})
+
+    partials = new_h.select("__idx").mapInPandas(
+        _partial_blooms, schema="bits binary"
+    ).collect()
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials:
+        bitmap |= np.frombuffer(row["bits"], dtype=np.uint8)
+
+    @pandas_udf(BooleanType())
+    def might_contain(idx_s: pd.Series) -> pd.Series:
+        if len(idx_s) == 0:
+            return pd.Series([], dtype=bool)
+        idx = np.stack([np.asarray(a, dtype=np.int64) for a in idx_s])
+        bits = (bitmap[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    h_old = F.sha2(F.col(text_col), 256)
+    survivors = (
+        standing_df.select(
+            F.col(id_col).alias("__old_id"),
+            h_old.alias("__h"),
+            _bloom_index_cols(h_old, bloom_bits, n_probes).alias("__idx"),
+        )
+        .filter(might_contain(F.col("__idx")))
+        .groupBy("__h")
+        .agg(F.min("__old_id").alias("dup_of"))
+    )
+    return (
+        new_h.join(survivors, "__h", "left")
+        .select(
+            "id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

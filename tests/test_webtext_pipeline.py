@@ -203,6 +203,47 @@ def test_pack_greedy_oversized_doc_gets_own_bin(spark):
     assert out[2]["bin_id"] == 2  # oversized doc closed its bin
 
 
+def test_exact_dedup_incremental_matches_plain_join(spark):
+    from anofox_forecast_spark.webtext.dedup import exact_dedup_incremental
+
+    standing = spark.createDataFrame(
+        [(0, "shared text one"), (2, "shared text one"), (4, "only old")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "shared text one"), (11, "brand new"), (12, "only old")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["is_dup"], r["dup_of"]) for r in
+           exact_dedup_incremental(new, standing, "doc_id", "text").collect()}
+    assert out[10] == (True, 0)  # min standing id wins
+    assert out[11] == (False, None)
+    assert out[12] == (True, 4)
+
+
+def test_exact_dedup_incremental_bloom_fp_safe(spark):
+    # a pathologically small Bloom filter saturates (every probe is a
+    # false positive) — the exact join behind it must keep the output
+    # identical, only slower
+    from anofox_forecast_spark.webtext.dedup import exact_dedup_incremental
+
+    standing = spark.createDataFrame(
+        [(i, f"old doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"new doc {i}") for i in range(20)]
+        + [(200, "old doc 7")],
+        "doc_id long, text string",
+    )
+    big = exact_dedup_incremental(new, standing, "doc_id", "text")
+    tiny = exact_dedup_incremental(
+        new, standing, "doc_id", "text", bloom_bits=64, n_probes=2
+    )
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, tiny.collect()))
+    dup = [r for r in big.collect() if r["is_dup"]]
+    assert len(dup) == 1 and dup[0]["dup_of"] == 7
+
+
 def test_pack_validates_params(spark):
     docs = _sized(spark)
     with pytest.raises(ValueError):

@@ -280,6 +280,28 @@ def main() -> None:
     assert plan18.count("Exchange (") == 1, (
         "span packing must shuffle exactly once, on the packing stream key")
 
+    # 19. incremental exact dedup: the standing-corpus probe must be a
+    # single Arrow pass feeding a plain filter (bloom test) — the
+    # standing side is scanned once, never cross-joined; only survivors
+    # reach the hash aggregate + join
+    from anofox_forecast_spark.webtext.dedup import exact_dedup_incremental
+
+    inc = exact_dedup_incremental(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        "doc_id", "text",
+    )
+    plan19 = grab(inc)
+    sections.append((
+        "Incremental exact dedup (broadcast bloom probe over the standing scan)",
+        plan19,
+        ["ArrowEvalPython", "HashAggregate"],
+    ))
+    assert "CartesianProduct" not in plan19, (
+        "bloom-probe dedup must not cross-join the standing corpus")
+    assert plan19.count("ArrowEvalPython (") == 1, (
+        "the bloom probe must run exactly once over the standing scan")
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
