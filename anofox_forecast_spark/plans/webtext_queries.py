@@ -29,6 +29,7 @@ from anofox_forecast_spark.webtext.pipeline import (
     mixture_sample,
     pack_greedy,
     pack_sequences,
+    prepare_corpus,
     tfidf_topk,
 )
 from anofox_forecast_spark.webtext.text_stats import (
@@ -754,6 +755,21 @@ def sql_pack_greedy():
     """
 
 
+def q_corpus_prepare(spark, sf_dir):
+    """End-to-end corpus preparation (rows-only: the MinHash near-dedup
+    stage inside has no DuckDB twin; every individual stage IS oracled
+    via its own driver query). Returns the packed surviving documents."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    packed, _stats = prepare_corpus(
+        corpus, "doc_id", "text", "source",
+        benchmark=bench, decontaminate_n=4,
+        mixture_rates={"src0": 0.6}, default_rate=0.9,
+    )
+    return packed.drop("text")
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -780,6 +796,7 @@ def build_queries():
         "mixture_sample": q_mixture_sample,
         "pack_spans": q_pack_spans,
         "pack_greedy": q_pack_greedy,
+        "corpus_prepare": q_corpus_prepare,
     }
 
 

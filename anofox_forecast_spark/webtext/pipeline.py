@@ -28,7 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, Window
 
-from .text_stats import _tokens
+from .text_stats import _tokens, quality_scores, repetition_stats
 
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against an eval set)
@@ -250,6 +250,146 @@ def pack_sequences(
         F.floor(start / budget).cast("long").alias("bin_id"),
         (start % budget).alias("bin_offset"),
     )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    benchmark: DataFrame | None = None,
+    quality_min: float = 0.3,
+    line_dedup_tokens: int | None = 12,
+    minhash_threshold: float = 0.5,
+    decontaminate_n: int = 8,
+    mixture_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    pack_budget: int = 2048,
+    pack_shards: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end corpus preparation: line dedup → quality + repetition
+    filters → exact dedup → MinHash near-dedup (connected-components
+    survivor) → benchmark decontamination → mixture sampling → sequence
+    packing. Returns ``(packed, stats)``:
+
+    - ``packed``: the surviving documents with (id, domain, text,
+      n_tokens, shard, bin_id, bin_offset) — ready to write as training
+      shards;
+    - ``stats``: ONE row of per-stage drop accounting (n_input,
+      n_fail_quality, n_fail_repetition, n_exact_dup, n_near_dup,
+      n_contaminated, n_mixture_dropped, n_kept).
+
+    Composition strategy (the part that matters at 100 TB): every stage
+    produces a boolean VERDICT column joined onto the document spine,
+    and the pipeline ends in ONE conjunction filter plus ONE aggregate
+    for stats — no per-stage ``count()`` actions, no per-stage
+    materialization barriers; Spark schedules the whole DAG as one job.
+    Stages that drop rows from their own output (repetition stats skips
+    empty docs, dedup emits only group members) re-enter the spine as
+    left joins with keep-by-default coalesces.
+
+    ``line_dedup_tokens=None`` skips the corpus-level line dedup
+    pre-pass (the only stage that rewrites text; all later verdicts
+    run on the deduped text when it is on). ``benchmark=None`` skips
+    decontamination; ``mixture_rates=None`` skips sampling.
+    """
+    from .dedup import connected_components, line_dedup, minhash_lsh_candidates
+
+    spine = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.col(text_col).alias("text"),
+    )
+    if line_dedup_tokens is not None:
+        ld = line_dedup(spine, "id", "text", tokens_per_line=line_dedup_tokens)
+        spine = spine.drop("text").join(
+            ld.select("id", F.col("text_deduped").alias("text")), "id"
+        )
+    # the spine feeds SIX verdict branches — materialize it once (lazy
+    # localCheckpoint: pipelined with the first action, blocks released
+    # by ContextCleaner on GC) or Spark re-executes the scan/line-dedup
+    # subtree per branch reference (measured 5× slower unchecked)
+    spine = spine.localCheckpoint(eager=False)
+
+    q = quality_scores(spine, "id", "text").select(
+        "id", "n_words", (F.col("quality") >= quality_min).alias("__kq")
+    )
+    r = repetition_stats(spine, "id", "text").select(
+        "id", F.col("repetition_keep").alias("__kr")
+    )
+    exact_keep = (
+        spine.select("id", F.sha2(F.col("text"), 256).alias("__h"))
+        .groupBy("__h").agg(F.min("id").alias("__keep_id"))
+    )
+    hashed = spine.select("id", F.sha2(F.col("text"), 256).alias("__h"))
+    ke = hashed.join(exact_keep, "__h").select(
+        "id", (F.col("id") == F.col("__keep_id")).alias("__ke")
+    )
+    pairs = minhash_lsh_candidates(
+        spine, "id", "text", est_threshold=minhash_threshold
+    )
+    comp = connected_components(pairs).select(
+        "id", (F.col("id") == F.col("component")).alias("__kn")
+    )
+    verdicts = (
+        spine.join(q, "id", "left")
+        .join(r, "id", "left")
+        .join(ke, "id", "left")
+        .join(comp, "id", "left")
+    )
+    if benchmark is not None:
+        dc = decontaminate(
+            docs, benchmark, id_col, text_col, n=decontaminate_n
+        ).select("id", (~F.col("contaminated")).alias("__kc"))
+        verdicts = verdicts.join(dc, "id", "left")
+    else:
+        verdicts = verdicts.withColumn("__kc", F.lit(True))
+    if mixture_rates is not None:
+        rate = F.lit(float(default_rate))
+        for d, rt in mixture_rates.items():
+            if not (0.0 <= rt <= 1.0):
+                raise ValueError(f"rate for domain {d!r} must be in [0, 1]")
+            rate = F.when(F.col("domain") == d, F.lit(float(rt))).otherwise(rate)
+        verdicts = verdicts.withColumn("__km", _lcg_uniform("id") < rate)
+    else:
+        verdicts = verdicts.withColumn("__km", F.lit(True))
+
+    flags = {
+        "__kq": "n_fail_quality",
+        "__kr": "n_fail_repetition",
+        "__ke": "n_exact_dup",
+        "__kn": "n_near_dup",
+        "__kc": "n_contaminated",
+        "__km": "n_mixture_dropped",
+    }
+    # keep-by-default for docs a stage's output skipped (e.g. empty docs)
+    for c in flags:
+        verdicts = verdicts.withColumn(c, F.coalesce(F.col(c), F.lit(True)))
+    keep_all = F.lit(True)
+    for c in flags:
+        keep_all = keep_all & F.col(c)
+    verdicts = verdicts.withColumn("__keep", keep_all)
+    # verdicts feed the stats aggregate, the kept filter, AND the packed
+    # join — same re-execution trap as the spine
+    verdicts = verdicts.localCheckpoint(eager=False)
+
+    stats = verdicts.agg(
+        F.count("*").alias("n_input"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(out)
+            for c, out in flags.items()
+        ],
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+    )
+    kept = verdicts.filter("__keep").select(
+        "id", "domain", "text",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        kept, "id", "domain", "n_tokens",
+        budget=pack_budget, shards=pack_shards,
+    ).join(kept.select("id", "text"), "id")
+    return packed, stats
 
 
 def pack_greedy(

@@ -179,6 +179,21 @@ def main() -> None:
         docs, "doc_id", "text", tokens_per_line=12).count())
     wtimed("wx_text_repetition", lambda: repetition_stats(
         docs, "doc_id", "text").count())
+    from anofox_forecast_spark.webtext.pipeline import prepare_corpus
+
+    def corpus_prep():
+        domained = docs.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 4))
+        )
+        packed, stats = prepare_corpus(
+            domained, "doc_id", "text", "source",
+            mixture_rates={"src0": 0.8}, default_rate=0.95,
+        )
+        n_kept = packed.count()
+        stats.collect()
+        return n_kept
+
+    wtimed("wx_corpus_prep", corpus_prep)
     docs.unpersist()
 
     emb_c = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=1000).persist()

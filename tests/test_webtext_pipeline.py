@@ -244,6 +244,75 @@ def test_exact_dedup_incremental_bloom_fp_safe(spark):
     assert len(dup) == 1 and dup[0]["dup_of"] == 7
 
 
+# ---------------------------------------------------------------------------
+# prepare_corpus composition
+
+
+def test_prepare_corpus_stage_accounting(spark):
+    from anofox_forecast_spark.webtext.pipeline import prepare_corpus
+
+    clean = ("the quick brown fox jumps over the lazy dog while the other "
+             "animals watch the field and the sun sets on the quiet farm")
+    rows = [
+        (0, clean, "web"),
+        (1, clean + " with a small tail change at the end today", "web"),
+        (2, clean, "web"),                      # exact dup of 0
+        (3, "1234!!! 5678??? 90!!", "web"),     # low quality (punct+digits)
+        (4, "spark plans shuffle exchange sort aggregate project scan "
+            "filter window broadcast join codegen stage task executor",
+            "books"),
+        (5, "held out benchmark sentence about gradient descent methods "
+            "and their convergence on convex problems", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "held out benchmark sentence about gradient descent methods "
+               "and their convergence on convex problems", "eval")],
+        "doc_id long, text string, source string",
+    )
+    packed, stats = prepare_corpus(
+        docs, "doc_id", "text", "source",
+        benchmark=bench, decontaminate_n=8,
+        line_dedup_tokens=None,  # keep texts verbatim for the dup stages
+    )
+    s = stats.collect()[0].asDict()
+    assert s["n_input"] == 6
+    assert s["n_fail_quality"] == 1        # doc 3
+    assert s["n_exact_dup"] == 1           # doc 2 (doc 0 is the survivor)
+    assert s["n_near_dup"] >= 1            # doc 1 or 2 collapses into 0's group
+    assert s["n_contaminated"] == 1        # doc 5 overlaps the benchmark
+    assert s["n_mixture_dropped"] == 0     # sampling off
+    kept_ids = {r["id"] for r in packed.collect()}
+    assert 0 in kept_ids and 4 in kept_ids
+    assert 2 not in kept_ids and 3 not in kept_ids and 5 not in kept_ids
+    assert s["n_kept"] == len(kept_ids)
+    # packed output carries bin assignments and the text payload
+    row0 = [r for r in packed.collect() if r["id"] == 0][0]
+    assert row0["bin_id"] >= 0 and row0["text"] == clean
+
+
+def test_prepare_corpus_single_job_stats(spark):
+    # the stats row and the packed output must not disagree with each
+    # other when computed twice (no nondeterministic stage inside)
+    from anofox_forecast_spark.webtext.pipeline import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} talks about topic {i % 3} in long "
+             f"enough form to pass the quality floor easily and cleanly",
+          "web") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    packed1, stats1 = prepare_corpus(docs, "doc_id", "text", "source",
+                                     mixture_rates={"web": 0.5})
+    packed2, stats2 = prepare_corpus(docs, "doc_id", "text", "source",
+                                     mixture_rates={"web": 0.5})
+    assert sorted(map(tuple, packed1.collect())) == \
+        sorted(map(tuple, packed2.collect()))
+    assert stats1.collect() == stats2.collect()
+    s = stats1.collect()[0].asDict()
+    assert s["n_kept"] == packed1.count()
+
+
 def test_pack_validates_params(spark):
     docs = _sized(spark)
     with pytest.raises(ValueError):
