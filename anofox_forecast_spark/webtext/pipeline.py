@@ -331,8 +331,13 @@ def prepare_corpus(
     comp = connected_components(pairs).select(
         "id", (F.col("id") == F.col("component")).alias("__kn")
     )
+    # verdict joins move (id, flag) pairs ONLY — the text payload stays
+    # out of the join chain and is pulled back once, for kept docs only;
+    # at corpus scale this is the difference between shuffling ids and
+    # shuffling the corpus
     verdicts = (
-        spine.join(q, "id", "left")
+        spine.select("id", "domain")
+        .join(q, "id", "left")
         .join(r, "id", "left")
         .join(ke, "id", "left")
         .join(comp, "id", "left")
@@ -382,13 +387,13 @@ def prepare_corpus(
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
     )
     kept = verdicts.filter("__keep").select(
-        "id", "domain", "text",
+        "id", "domain",
         F.coalesce("n_words", F.lit(0)).cast("long").alias("n_tokens"),
     )
     packed = pack_sequences(
         kept, "id", "domain", "n_tokens",
         budget=pack_budget, shards=pack_shards,
-    ).join(kept.select("id", "text"), "id")
+    ).join(spine.select("id", "text"), "id")
     return packed, stats
 
 

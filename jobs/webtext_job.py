@@ -6,11 +6,13 @@ throughput numbers but no scaling pair).
     spark-submit --master local[N] --py-files dist/anofox_forecast_spark.zip \
         jobs/webtext_job.py --docs 1000000 --vecs 300000
 
-Stages (each timed; one JSON line on stdout):
+Stages (each timed; one JSON line on stdout; --stages selects a subset):
   synthesize docs+vecs -> warm python workers -> minhash-LSH dedup ->
   connected components over the minhash pairs -> simhash(k=3) dedup ->
   C4 line dedup -> Gopher repetition stats -> embedding-LSH near-dup ->
-  IVF ANN top-k.
+  IVF ANN top-k -> benchmark decontamination (0.1% eval set) -> TF-IDF
+  top-k terms -> sequence packing (64 shards) -> prepare_corpus (the
+  full composed pipeline: verdict joins + single filter + stats).
 
 The vector corpus carries near-duplicate structure (near_rate=0.08,
 ε=0.25 → cosines ≈0.94-0.97) so emb_dedup_lsh emits a real pair count
@@ -50,6 +52,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None,
                     help="build local[N] session (omit under spark-submit)")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--stages", default=None,
+                    help="comma-separated stage subset (default: all)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -140,19 +144,76 @@ def main() -> None:
             vecs, queries, k=5, n_cells=64, n_probe=8
         ).count()
 
+    from anofox_forecast_spark.webtext.pipeline import (
+        decontaminate,
+        pack_sequences,
+        prepare_corpus,
+        tfidf_topk,
+    )
+
+    def stage_decontaminate():
+        # 0.1% of the corpus plays the benchmark suite — realistic ratio:
+        # eval sets are thousands of docs against millions
+        bench = docs.filter(F.col("doc_id") % 1000 == 0)
+        return decontaminate(docs, bench, "doc_id", "text", n=8).count()
+
+    def stage_tfidf():
+        return tfidf_topk(docs, "doc_id", "text", k=5).count()
+
+    def stage_pack():
+        sized = docs.select(
+            "doc_id", F.lit("web").alias("source"),
+            F.size(F.split("text", " ")).alias("nt"),
+        )
+        return pack_sequences(
+            sized, "doc_id", "source", "nt", budget=2048, shards=64
+        ).count()
+
+    def stage_corpus_prep():
+        domained = docs.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 4))
+        )
+        packed, stats = prepare_corpus(
+            domained, "doc_id", "text", "source",
+            mixture_rates={"src0": 0.8}, default_rate=0.95,
+        )
+        n = packed.count()
+        stats.collect()
+        return n
+
     fixed = {k: timings[k] for k in ("synthesize", "synthesize_vecs", "warm_workers")}
     n_rep = max(args.repeat, 1)
     for it in range(n_rep):
         timings.clear()
         timings.update(fixed)
-        counts["minhash_pairs"] = timed("minhash_lsh", stage_minhash)
-        counts["component_rows"] = timed("components", stage_components)
-        state.pop("pairs").unpersist()
-        counts["simhash_pairs"] = timed("simhash_k3", stage_simhash)
-        counts["line_dedup_docs"] = timed("line_dedup", stage_line_dedup)
-        counts["repetition_docs"] = timed("repetition", stage_repetition)
-        counts["emb_pairs"] = timed("emb_dedup_lsh", stage_emb_lsh)
-        counts["ivf_rows"] = timed("ivf_topk", stage_ivf)
+        todo = set(args.stages.split(",")) if args.stages else None
+
+        def want(name):
+            return todo is None or name in todo
+
+        if want("minhash_lsh") or want("components"):
+            counts["minhash_pairs"] = timed("minhash_lsh", stage_minhash)
+            if want("components"):
+                counts["component_rows"] = timed("components", stage_components)
+            state.pop("pairs").unpersist()
+        if want("simhash_k3"):
+            counts["simhash_pairs"] = timed("simhash_k3", stage_simhash)
+        if want("line_dedup"):
+            counts["line_dedup_docs"] = timed("line_dedup", stage_line_dedup)
+        if want("repetition"):
+            counts["repetition_docs"] = timed("repetition", stage_repetition)
+        if want("emb_dedup_lsh"):
+            counts["emb_pairs"] = timed("emb_dedup_lsh", stage_emb_lsh)
+        if want("ivf_topk"):
+            counts["ivf_rows"] = timed("ivf_topk", stage_ivf)
+        if want("decontaminate"):
+            counts["decontam_docs"] = timed("decontaminate", stage_decontaminate)
+        if want("tfidf"):
+            counts["tfidf_rows"] = timed("tfidf", stage_tfidf)
+        if want("pack"):
+            counts["packed_docs"] = timed("pack", stage_pack)
+        if want("corpus_prep"):
+            counts["corpus_kept"] = timed("corpus_prep", stage_corpus_prep)
         if it < n_rep - 1:
             # the dedup ops persist their signature tables internally; a
             # repeat's IDENTICAL plan would be substituted from that cache
@@ -170,11 +231,12 @@ def main() -> None:
         "timings": timings,
         "counts": counts,
         "work_seconds": work,
-        "minhash_docs_per_sec": round(args.docs / timings["minhash_lsh"]),
         "docs": args.docs,
         "vecs": args.vecs,
         "shuffle_partitions": args.shuffle_partitions,
     }
+    if "minhash_lsh" in timings:
+        out["minhash_docs_per_sec"] = round(args.docs / timings["minhash_lsh"])
     print(json.dumps(out), flush=True)
 
 

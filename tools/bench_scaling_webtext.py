@@ -29,7 +29,8 @@ sys.path.insert(0, REPO)
 from tools.build_dist import build_pyfiles  # noqa: E402
 
 STAGES = ["minhash_lsh", "components", "simhash_k3", "line_dedup",
-          "repetition", "emb_dedup_lsh", "ivf_topk"]
+          "repetition", "emb_dedup_lsh", "ivf_topk",
+          "decontaminate", "tfidf", "pack", "corpus_prep"]
 
 
 def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dict:
