@@ -32,6 +32,7 @@ from anofox_forecast_spark.webtext.pipeline import (
     prepare_corpus,
     tfidf_topk,
 )
+from anofox_forecast_spark.webtext.lm import dsir_log_weights, lm_perplexity
 from anofox_forecast_spark.webtext.text_stats import (
     STOPWORDS,
     language_id,
@@ -657,6 +658,112 @@ def sql_text_tfidf():
     """
 
 
+def q_text_lm_ppl(spark, sf_dir):
+    return lm_perplexity(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def sql_text_lm_ppl():
+    """DuckDB twin of webtext/lm.py lm_perplexity (self-trained bigram
+    LM, add-one smoothing): per-token -ln P terms quantized to integer
+    micro-nats BEFORE the per-doc sum, so the aggregate is exact and
+    summation-order-free in both engines."""
+    return r"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        uni AS (SELECT unnest(toks) AS term FROM toks),
+        uc AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+        tv AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                      CAST(count(DISTINCT term) AS BIGINT) AS v FROM uni),
+        firsts AS (SELECT id, toks[1] AS term FROM toks WHERE len(toks) >= 1),
+        nll_first AS (
+            SELECT f.id,
+                   CAST(round(ln((tv.t + tv.v)
+                       / (COALESCE(uc.cu, 0) + 1.0)) * 1e6) AS BIGINT) AS u6
+            FROM firsts f CROSS JOIN tv LEFT JOIN uc USING (term)
+        ),
+        bi AS (
+            SELECT id, toks[i] AS v, toks[i + 1] AS w
+            FROM toks CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        ),
+        bc AS (SELECT v, w, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY 1, 2),
+        nll_bi AS (
+            SELECT b.id,
+                   CAST(round(ln((COALESCE(uv.cu, 0) + tv.v)
+                       / (COALESCE(bc.cb, 0) + 1.0)) * 1e6) AS BIGINT) AS u6
+            FROM bi b CROSS JOIN tv
+            LEFT JOIN bc ON b.v = bc.v AND b.w = bc.w
+            LEFT JOIN uc uv ON b.v = uv.term
+        ),
+        per_doc AS (
+            SELECT id, sum(u6) AS s, count(*) AS n
+            FROM (SELECT * FROM nll_first UNION ALL SELECT * FROM nll_bi)
+            GROUP BY id
+        )
+        SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               round(p.s / 1e6 / p.n, 6) AS avg_nll,
+               round(exp(p.s / 1e6 / p.n), 6) AS ppl
+        FROM toks t LEFT JOIN per_doc p USING (id)
+    """
+
+
+def q_text_dsir(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dsir_log_weights(docs, docs.filter("lang = 'en'"), "doc_id", "text")
+
+
+def sql_text_dsir():
+    """DuckDB twin of webtext/lm.py dsir_log_weights with the English
+    slice of the corpus as the target distribution: identical
+    unigram+bigram features, add-one smoothing over the union vocab,
+    micro-nat-quantized per-gram deltas summed exactly."""
+    return r"""
+        WITH toks AS (
+            SELECT doc_id AS id, lang,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        g_raw AS (
+            SELECT id, g FROM (
+                SELECT id, unnest(toks) AS g FROM toks
+                UNION ALL
+                SELECT id, toks[i] || ' ' || toks[i + 1] AS g
+                FROM toks CROSS JOIN LATERAL
+                    (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+            )
+        ),
+        g_tgt AS (SELECT g FROM g_raw JOIN toks USING (id) WHERE toks.lang = 'en'),
+        cr AS (SELECT g, CAST(count(*) AS BIGINT) AS cr FROM g_raw GROUP BY 1),
+        ct AS (SELECT g, CAST(count(*) AS BIGINT) AS ct FROM g_tgt GROUP BY 1),
+        model AS (
+            SELECT g, COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+            FROM cr FULL OUTER JOIN ct USING (g)
+        ),
+        tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt,
+                       CAST(count(*) AS BIGINT) AS u FROM model),
+        delta AS (
+            SELECT g, CAST(round((ln((ct + 1.0) / (tt + u))
+                - ln((cr + 1.0) / (tr + u))) * 1e6) AS BIGINT) AS d6
+            FROM model CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(sum(d6) / 1e6, 6) AS log_w
+            FROM g_raw JOIN delta USING (g)
+            GROUP BY id
+        )
+        SELECT t.id, COALESCE(p.n_grams, 0) AS n_grams, p.log_w
+        FROM toks t LEFT JOIN per_doc p USING (id)
+    """
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic training-mixture downsample: keep 60% of src0, 30%
     of src1, 10% of everything else, decided by an engine-portable LCG
@@ -793,6 +900,8 @@ def build_queries():
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "text_decontaminate": q_text_decontaminate,
         "text_tfidf": q_text_tfidf,
+        "text_lm_ppl": q_text_lm_ppl,
+        "text_dsir": q_text_dsir,
         "mixture_sample": q_mixture_sample,
         "pack_spans": q_pack_spans,
         "pack_greedy": q_pack_greedy,
@@ -817,6 +926,8 @@ def build_oracle_sql():
         "dedup_exact_incremental": sql_dedup_exact_incremental(),
         "text_decontaminate": sql_text_decontaminate(),
         "text_tfidf": sql_text_tfidf(),
+        "text_lm_ppl": sql_text_lm_ppl(),
+        "text_dsir": sql_text_dsir(),
         "mixture_sample": sql_mixture_sample(),
         "pack_spans": sql_pack_spans(),
         "pack_greedy": sql_pack_greedy(),

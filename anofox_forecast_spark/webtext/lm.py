@@ -1,0 +1,271 @@
+"""Corpus language-model scoring for training-data curation.
+
+Two published data-selection scores, re-expressed as DataFrame plans
+(no reference counterpart — the reference engine has no LM scoring;
+semantics come from the public papers):
+
+- :func:`lm_perplexity` — CCNet-style LM quality scoring (Wenzek et
+  al., "CCNet", LREC 2020 trains a KenLM on Wikipedia and ranks
+  CommonCrawl docs by perplexity). Here the LM is a bigram model with
+  add-one smoothing trained on ``train_df`` — same pipeline shape:
+  train on a reference corpus, score everything.
+- :func:`dsir_log_weights` — Data Selection via Importance Resampling
+  (Xie et al., NeurIPS 2023): per-doc importance log-weight
+  ``sum_g c(g|doc) * (ln p_target(g) - ln p_raw(g))`` over n-gram
+  features of a target corpus vs the raw corpus.
+
+Determinism contract: per-token/per-gram log terms are quantized to
+integer micro-nats (``CAST(round(x * 1e6) AS BIGINT)``) BEFORE the
+per-doc sum, so the aggregate is exact integer arithmetic — immune to
+float summation-order drift across partitions and engines. The DuckDB
+oracles replay the identical quantized terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text_stats import _tokens
+
+_U6 = 1_000_000.0  # micro-nat quantum shared with the DuckDB twins
+
+
+def _tok_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks) with the shared punctuation-stripping tokenizer;
+    empty strings removed, empty docs kept (empty array)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_remove(_tokens(F.col(text_col)), "").alias("__toks"),
+    )
+
+
+def _bigrams(toks: Column) -> Column:
+    """array<struct<v,w>> of consecutive token pairs (JVM-side — the
+    pair stream is built before any shuffle, so the corpus token
+    multiset never moves as strings)."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))  # 0-token docs: empty pair list
+    return F.arrays_zip(
+        F.slice(toks, 1, n).alias("v"), F.slice(toks, 2, n).alias("w")
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_df: DataFrame | None = None,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood and perplexity:
+    (id, n_tokens, avg_nll, ppl), CCNet-style (train on a clean
+    reference corpus, score the raw corpus; Wenzek et al. 2020).
+
+    Model: add-one-smoothed bigram LM over the shared ``_tokens``
+    vocabulary. First token scores against the unigram distribution
+    ``P(w) = (c(w)+1)/(T+V)``; subsequent tokens against
+    ``P(w|v) = (c(v,w)+1)/(c(v)+V)`` where V is the distinct-term
+    count of the training corpus. ``avg_nll`` is the mean per-token
+    ``-ln P`` (micro-nat-quantized terms, exact integer sum);
+    ``ppl = exp(avg_nll)``. Empty docs get NULL scores.
+
+    ``vocab_size`` keeps the top-V terms by (count desc, term asc) and
+    maps the rest to ``<unk>`` before counting — at production scale
+    this bounds the unigram table (broadcast) and shrinks the bigram
+    table (the model, carried through one shuffle join). Scale shape:
+    token arrays stay JVM-side until the explode; the unigram/total
+    branches are 1-row or V-row broadcasts; the only large shuffle is
+    gram-stream × bigram-count, keyed by (v, w) — exactly the join a
+    1000-executor run wants, no driver collect anywhere.
+    """
+    score = _tok_frame(df, id_col, text_col)
+    train = score if train_df is None else _tok_frame(train_df, id_col, text_col)
+
+    t_uni = train.select(F.explode("__toks").alias("term"))
+    if vocab_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("c"), F.asc("term"))
+        vocab = (
+            t_uni.groupBy("term").agg(F.count("*").alias("c"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= int(vocab_size))
+            .select(F.col("term").alias("__vterm"), F.lit(True).alias("__in_v"))
+        )
+
+        def _map(frame: DataFrame, col: str) -> DataFrame:
+            lhs = frame[col]
+            return (
+                frame.join(F.broadcast(vocab), lhs == F.col("__vterm"), "left")
+                .withColumn(
+                    col, F.when(F.col("__in_v"), lhs).otherwise(F.lit("<unk>"))
+                )
+                .drop("__vterm", "__in_v")
+            )
+    else:
+        def _map(frame: DataFrame, col: str) -> DataFrame:
+            return frame
+
+    t_uni = _map(t_uni, "term")
+    uc = t_uni.groupBy("term").agg(F.count("*").alias("__cu"))
+    tv = F.broadcast(
+        t_uni.agg(
+            F.count("*").alias("__t"), F.count_distinct("term").alias("__v")
+        )
+    )
+    t_bi = train.select(F.explode(_bigrams(F.col("__toks"))).alias("p")).select(
+        F.col("p.v").alias("v"), F.col("p.w").alias("w")
+    )
+    t_bi = _map(_map(t_bi, "v"), "w")
+    bc = t_bi.groupBy("v", "w").agg(F.count("*").alias("__cb"))
+    # c(v) must count the TRAINING unigram stream (denominator of the
+    # conditional), reused from uc via rename
+    ucv = uc.select(F.col("term").alias("v"), F.col("__cu").alias("__cv"))
+
+    first = _map(
+        score.filter(F.size("__toks") >= 1).select(
+            "id", F.col("__toks")[0].alias("term")
+        ),
+        "term",
+    )
+    # uc/ucv are V-row model tables: left to AQE, which broadcasts them
+    # when they fit (always, once vocab_size bounds V) and falls back to
+    # a keyed shuffle join for an unbounded vocabulary
+    nll_first = (
+        first.join(uc, "term", "left")
+        .crossJoin(tv)
+        .select(
+            "id",
+            F.round(
+                F.log(
+                    (F.col("__t") + F.col("__v"))
+                    / (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(1.0))
+                )
+                * _U6
+            ).cast("long").alias("__u6"),
+        )
+    )
+    s_bi = score.select(
+        "id", F.explode(_bigrams(F.col("__toks"))).alias("p")
+    ).select("id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    s_bi = _map(_map(s_bi, "v"), "w")
+    nll_bi = (
+        s_bi.join(bc, ["v", "w"], "left")
+        .join(ucv, "v", "left")
+        .crossJoin(tv)
+        .select(
+            "id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__cv"), F.lit(0)) + F.col("__v"))
+                    / (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(1.0))
+                )
+                * _U6
+            ).cast("long").alias("__u6"),
+        )
+    )
+    per_doc = (
+        nll_first.unionByName(nll_bi)
+        .groupBy("id")
+        .agg(F.sum("__u6").alias("__s"), F.count("*").alias("__n"))
+        .select(
+            "id",
+            F.round(F.col("__s") / _U6 / F.col("__n"), 6).alias("avg_nll"),
+            F.round(F.exp(F.col("__s") / _U6 / F.col("__n")), 6).alias("ppl"),
+        )
+    )
+    return (
+        score.select("id", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "id", "left")
+        .select("id", "n_tokens", "avg_nll", "ppl")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023):
+    (id, n_grams, log_w) where
+    ``log_w = sum_over_doc_grams (ln p_target(g) - ln p_raw(g))``
+    over unigram+bigram features, both distributions add-one-smoothed
+    over the union feature vocabulary U:
+    ``p(g) = (c(g)+1) / (T + |U|)``. Docs with log_w near the top of
+    the distribution look like the target corpus; resample
+    proportionally to ``exp(log_w)`` (the paper adds Gumbel noise —
+    compose with :func:`~..pipeline.mixture_sample`'s LCG for a
+    deterministic variant).
+
+    ``hash_buckets=k`` hashes grams into k buckets JVM-side
+    (``pmod(xxhash64(g), k)``) before counting — the paper's hashed
+    feature space, bounding the model table at k rows so it broadcasts
+    at any corpus size. Hashed mode has no DuckDB twin (cross-engine
+    hash); the exact-token mode is the oracled path.
+
+    Scale shape: two gram-count aggregates (map-side combined), one
+    full-outer join building the |U|-row delta table (the model), one
+    shuffle join gram-stream × delta keyed by gram, one exact integer
+    per-doc sum. No collects; the raw corpus text never shuffles —
+    only (id, gram) pairs move.
+    """
+    raw = _tok_frame(df, id_col, text_col)
+    tgt = _tok_frame(target_df, id_col, text_col)
+
+    def grams(frame: DataFrame) -> DataFrame:
+        uni = frame.select("id", F.explode("__toks").alias("g"))
+        bi = frame.select(
+            "id", F.explode(_bigrams(F.col("__toks"))).alias("p")
+        ).select("id", F.concat_ws(" ", "p.v", "p.w").alias("g"))
+        out = uni.unionByName(bi)
+        if hash_buckets is not None:
+            out = out.select(
+                "id", F.pmod(F.xxhash64("g"), F.lit(int(hash_buckets))).alias("g")
+            )
+        return out
+
+    g_raw, g_tgt = grams(raw), grams(tgt)
+    c_raw = g_raw.groupBy("g").agg(F.count("*").alias("__cr"))
+    c_tgt = g_tgt.groupBy("g").agg(F.count("*").alias("__ct"))
+    model = c_raw.join(c_tgt, "g", "full_outer").select(
+        "g",
+        F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        F.coalesce("__ct", F.lit(0)).alias("__ct"),
+    )
+    totals = F.broadcast(
+        model.agg(
+            F.sum("__cr").alias("__tr"),
+            F.sum("__ct").alias("__tt"),
+            F.count("*").alias("__u"),
+        )
+    )
+    delta = model.crossJoin(totals).select(
+        "g",
+        F.round(
+            (
+                F.log((F.col("__ct") + 1.0) / (F.col("__tt") + F.col("__u")))
+                - F.log((F.col("__cr") + 1.0) / (F.col("__tr") + F.col("__u")))
+            )
+            * _U6
+        ).cast("long").alias("__d6"),
+    )
+    per_doc = (
+        g_raw.join(delta, "g")
+        .groupBy("id")
+        .agg(F.sum("__d6").alias("__s"), F.count("*").alias("__n"))
+        .select(
+            "id",
+            F.col("__n").alias("n_grams"),
+            F.round(F.col("__s") / _U6, 6).alias("log_w"),
+        )
+    )
+    return (
+        raw.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "log_w",
+        )
+    )

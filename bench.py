@@ -179,6 +179,13 @@ def main() -> None:
         docs, "doc_id", "text", tokens_per_line=12).count())
     wtimed("wx_text_repetition", lambda: repetition_stats(
         docs, "doc_id", "text").count())
+
+    from anofox_forecast_spark.webtext.lm import dsir_log_weights, lm_perplexity
+
+    wtimed("wx_text_lm_ppl", lambda: lm_perplexity(
+        docs, "doc_id", "text").count())
+    wtimed("wx_text_dsir", lambda: dsir_log_weights(
+        docs, docs.filter("doc_id % 7 = 0"), "doc_id", "text").count())
     from anofox_forecast_spark.webtext.pipeline import prepare_corpus
 
     def corpus_prep():

@@ -302,6 +302,36 @@ def main() -> None:
     assert plan19.count("ArrowEvalPython (") == 1, (
         "the bloom probe must run exactly once over the standing scan")
 
+    # 20. bigram-LM perplexity: entirely JVM-side (token arrays built by
+    # Generate, counts by HashAggregate, scoring by keyed joins + the
+    # broadcast 1-row T/V branch) — no Python eval, no cartesian blowup
+    from anofox_forecast_spark.webtext.lm import dsir_log_weights, lm_perplexity
+
+    lmq = lm_perplexity(docs, "doc_id", "text")
+    plan20 = grab(lmq)
+    sections.append((
+        "Bigram-LM perplexity (JVM gram streams; broadcast T/V branch; keyed model joins)",
+        plan20,
+        ["HashAggregate", "BroadcastNestedLoopJoin", "Generate"],
+    ))
+    assert "CartesianProduct" not in plan20, (
+        "the T/V totals branch must broadcast, never cartesian")
+    assert "ArrowEvalPython" not in plan20 and "BatchEvalPython" not in plan20, (
+        "LM scoring must stay JVM-side")
+
+    # 21. DSIR log-weights: same contract — the only large shuffle is the
+    # gram-stream x delta-model join keyed by gram
+    dw = dsir_log_weights(docs, docs.filter("lang = 'en'"), "doc_id", "text")
+    plan21 = grab(dw)
+    sections.append((
+        "DSIR importance log-weights (gram-keyed model join; broadcast totals)",
+        plan21,
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+    ))
+    assert "CartesianProduct" not in plan21
+    assert "ArrowEvalPython" not in plan21 and "BatchEvalPython" not in plan21, (
+        "DSIR scoring must stay JVM-side")
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
