@@ -55,6 +55,7 @@ def lm_perplexity(
     text_col: str,
     train_df: DataFrame | None = None,
     vocab_size: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-document bigram-LM negative log-likelihood and perplexity:
     (id, n_tokens, avg_nll, ppl), CCNet-style (train on a clean
@@ -76,9 +77,37 @@ def lm_perplexity(
     branches are 1-row or V-row broadcasts; the only large shuffle is
     gram-stream × bigram-count, keyed by (v, w) — exactly the join a
     1000-executor run wants, no driver collect anywhere.
+
+    ``hashed=True`` is the corpus-scale path: terms become xxhash64
+    token hashes before any explode, so the gram streams and every
+    model join carry 8-byte keys instead of strings. Scores are
+    identical up to hash collisions (two colliding terms share one LM
+    slot); exact-string mode is the DuckDB-oracled path.
     """
     score = _tok_frame(df, id_col, text_col)
     train = score if train_df is None else _tok_frame(train_df, id_col, text_col)
+    if hashed:
+        def _h(frame: DataFrame) -> DataFrame:
+            return frame.withColumn(
+                "__toks", F.transform("__toks", lambda t: F.xxhash64(t))
+            )
+
+        hashed_score = _h(score)
+        train = hashed_score if train is score else _h(train)
+        score = hashed_score
+    unk = F.lit(-1).cast("long") if hashed else F.lit("<unk>")
+    if hashed:
+        # the tokenized frame feeds five branches (train uni/bi streams,
+        # first-token stream, scoring bigram stream, final n_tokens
+        # select); unmaterialized, Spark re-tokenizes the corpus once
+        # per branch. The hashed frame is compact long arrays — cheap to
+        # materialize via lazy localCheckpoint (prepare_corpus trap fix).
+        # The exact-string frame is NOT checkpointed: storing string
+        # token arrays costs more than re-tokenizing, and exact mode is
+        # the small-scale oracle path.
+        shared = train is score
+        score = score.localCheckpoint(eager=False)
+        train = score if shared else train.localCheckpoint(eager=False)
 
     t_uni = train.select(F.explode("__toks").alias("term"))
     if vocab_size is not None:
@@ -96,9 +125,7 @@ def lm_perplexity(
             lhs = frame[col]
             return (
                 frame.join(F.broadcast(vocab), lhs == F.col("__vterm"), "left")
-                .withColumn(
-                    col, F.when(F.col("__in_v"), lhs).otherwise(F.lit("<unk>"))
-                )
+                .withColumn(col, F.when(F.col("__in_v"), lhs).otherwise(unk))
                 .drop("__vterm", "__in_v")
             )
     else:
@@ -198,11 +225,13 @@ def dsir_log_weights(
     compose with :func:`~..pipeline.mixture_sample`'s LCG for a
     deterministic variant).
 
-    ``hash_buckets=k`` hashes grams into k buckets JVM-side
-    (``pmod(xxhash64(g), k)``) before counting — the paper's hashed
-    feature space, bounding the model table at k rows so it broadcasts
-    at any corpus size. Hashed mode has no DuckDB twin (cross-engine
-    hash); the exact-token mode is the oracled path.
+    ``hash_buckets=k`` is the paper's hashed feature space AND the
+    corpus-scale path: token hashes fold into bigram hashes JVM-side
+    (no gram strings are ever built) and ``pmod`` into k buckets, so
+    the model table is bounded at k rows (broadcastable at any corpus
+    size) and every explode/join carries 8-byte keys. Hashed mode has
+    no DuckDB twin (cross-engine hash); exact-token mode is the
+    oracled path.
 
     Scale shape: two gram-count aggregates (map-side combined), one
     full-outer join building the |U|-row delta table (the model), one
@@ -212,18 +241,40 @@ def dsir_log_weights(
     """
     raw = _tok_frame(df, id_col, text_col)
     tgt = _tok_frame(target_df, id_col, text_col)
+    if hash_buckets is not None:
+        # scale path: hash tokens once (no gram strings are ever built),
+        # then materialize the compact long arrays lazily — the frames
+        # feed multiple gram branches (uni+bi explodes, count + scoring
+        # passes) and would otherwise re-tokenize the corpus per branch.
+        # Exact mode is the small-scale oracle path and skips both.
+        def _h(frame: DataFrame) -> DataFrame:
+            return frame.withColumn(
+                "__toks", F.transform("__toks", lambda t: F.xxhash64(t))
+            ).localCheckpoint(eager=False)
+
+        raw, tgt = _h(raw), _h(tgt)
 
     def grams(frame: DataFrame) -> DataFrame:
+        if hash_buckets is not None:
+            # token hashes fold into bigram hashes JVM-side, then pmod
+            # into the bounded bucket space; explodes and joins carry longs
+            b = F.lit(int(hash_buckets))
+            th = F.col("__toks")
+            n = F.greatest(F.size(th) - 1, F.lit(0))
+            bh = F.zip_with(
+                F.slice(th, 1, n), F.slice(th, 2, n),
+                lambda a, x: F.xxhash64(a, x),
+            )
+            uni = frame.select("id", F.explode(th).alias("h"))
+            bi = frame.select("id", F.explode(bh).alias("h"))
+            return uni.unionByName(bi).select(
+                "id", F.pmod(F.col("h"), b).alias("g")
+            )
         uni = frame.select("id", F.explode("__toks").alias("g"))
         bi = frame.select(
             "id", F.explode(_bigrams(F.col("__toks"))).alias("p")
         ).select("id", F.concat_ws(" ", "p.v", "p.w").alias("g"))
-        out = uni.unionByName(bi)
-        if hash_buckets is not None:
-            out = out.select(
-                "id", F.pmod(F.xxhash64("g"), F.lit(int(hash_buckets))).alias("g")
-            )
-        return out
+        return uni.unionByName(bi)
 
     g_raw, g_tgt = grams(raw), grams(tgt)
     c_raw = g_raw.groupBy("g").agg(F.count("*").alias("__cr"))

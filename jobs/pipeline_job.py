@@ -49,6 +49,7 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    from anofox_forecast_spark.bench_util import checksum_count
     from anofox_forecast_spark.compression.gorilla import compress_chunks
     from anofox_forecast_spark.core.gapfill import fill_gaps, interpolate_linear, locf
     from anofox_forecast_spark.models.harness import forecast
@@ -97,24 +98,30 @@ def main() -> None:
     def gapfill_job():
         f = fill_gaps(series_1h, ["lang", "host"], "bucket_start", ["y"], "1h")
         f = locf(f, ["lang", "host"], "bucket_start", ["y"])
-        return interpolate_linear(f, ["lang", "host"], "bucket_start", ["y"]).count()
+        return checksum_count(
+            interpolate_linear(f, ["lang", "host"], "bucket_start", ["y"]))
 
     def forecast_job():
-        return forecast(series_1d, ["lang", "host"], "bucket_start", "y",
-                        models=["seasonal_naive", "ses", "theta"],
-                        horizon=14, freq="1d", season_length=7).count()
+        return checksum_count(
+            forecast(series_1d, ["lang", "host"], "bucket_start", "y",
+                     models=["seasonal_naive", "ses", "theta"],
+                     horizon=14, freq="1d", season_length=7))
 
     def compress_job():
-        return compress_chunks(series_1d, ["lang", "host"], "bucket_start",
-                               "y", chunk_freq="28d").count()
+        return checksum_count(
+            compress_chunks(series_1d, ["lang", "host"], "bucket_start",
+                            "y", chunk_freq="28d"))
 
     synth_sec = timings["synthesize"]
     for _ in range(max(args.repeat, 1)):
         timings.clear()
         timings["synthesize"] = synth_sec
-        counts["t1h"] = timed("rollup_1h", rollup_projected(pages, "1h").count)
-        counts["t1d"] = timed("rollup_1d", cascade_rollup(t1h_cached, "1d").count)
-        counts["t7d"] = timed("rollup_7d", cascade_rollup(t1d_cached, "7d").count)
+        counts["t1h"] = timed("rollup_1h",
+                              lambda: checksum_count(rollup_projected(pages, "1h")))
+        counts["t1d"] = timed("rollup_1d",
+                              lambda: checksum_count(cascade_rollup(t1h_cached, "1d")))
+        counts["t7d"] = timed("rollup_7d",
+                              lambda: checksum_count(cascade_rollup(t1d_cached, "7d")))
         counts["gapfilled"] = timed("gapfill_1h", gapfill_job)
         counts["forecast_rows"] = timed("forecast_1d", forecast_job)
         counts["chunks"] = timed("compress_28d", compress_job)

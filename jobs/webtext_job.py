@@ -79,6 +79,7 @@ def main() -> None:
         minhash_lsh_candidates,
         simhash_near_dups,
     )
+    from anofox_forecast_spark.bench_util import checksum_count
     from anofox_forecast_spark.webtext.similarity import ivf_cosine_topk
 
     timings: dict[str, float] = {}
@@ -119,30 +120,30 @@ def main() -> None:
         return pairs.count()
 
     def stage_components():
-        return connected_components(state["pairs"]).count()
+        return checksum_count(connected_components(state["pairs"]))
 
     def stage_simhash():
-        return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).count()
+        return checksum_count(simhash_near_dups(docs, "doc_id", "text", max_hamming=3))
 
     def stage_line_dedup():
         from anofox_forecast_spark.webtext.dedup import line_dedup
 
-        return line_dedup(docs, "doc_id", "text", tokens_per_line=12).count()
+        return checksum_count(line_dedup(docs, "doc_id", "text", tokens_per_line=12))
 
     def stage_repetition():
         from anofox_forecast_spark.webtext.text_stats import repetition_stats
 
-        return repetition_stats(docs, "doc_id", "text").count()
+        return checksum_count(repetition_stats(docs, "doc_id", "text"))
 
     def stage_emb_lsh():
-        return embedding_near_dups(
+        return checksum_count(embedding_near_dups(
             vecs, threshold=0.8, method="lsh", n_planes=16, n_tables=16
-        ).count()
+        ))
 
     def stage_ivf():
-        return ivf_cosine_topk(
+        return checksum_count(ivf_cosine_topk(
             vecs, queries, k=5, n_cells=64, n_probe=8
-        ).count()
+        ))
 
     from anofox_forecast_spark.webtext.pipeline import (
         decontaminate,
@@ -155,19 +156,33 @@ def main() -> None:
         # 0.1% of the corpus plays the benchmark suite — realistic ratio:
         # eval sets are thousands of docs against millions
         bench = docs.filter(F.col("doc_id") % 1000 == 0)
-        return decontaminate(docs, bench, "doc_id", "text", n=8).count()
+        return checksum_count(decontaminate(
+            docs, bench, "doc_id", "text", n=8, hashed=True))
 
     def stage_tfidf():
-        return tfidf_topk(docs, "doc_id", "text", k=5).count()
+        return checksum_count(tfidf_topk(docs, "doc_id", "text", k=5))
+
+    from anofox_forecast_spark.webtext.lm import dsir_log_weights, lm_perplexity
+
+    def stage_lm_ppl():
+        return checksum_count(lm_perplexity(docs, "doc_id", "text", hashed=True))
+
+    def stage_dsir():
+        # every 7th doc plays the target corpus — a realistic ~14%
+        # curated slice against the full raw crawl
+        return checksum_count(dsir_log_weights(
+            docs, docs.filter(F.col("doc_id") % 7 == 0), "doc_id", "text",
+            hash_buckets=1 << 22,
+        ))
 
     def stage_pack():
         sized = docs.select(
             "doc_id", F.lit("web").alias("source"),
             F.size(F.split("text", " ")).alias("nt"),
         )
-        return pack_sequences(
+        return checksum_count(pack_sequences(
             sized, "doc_id", "source", "nt", budget=2048, shards=64
-        ).count()
+        ))
 
     def stage_corpus_prep():
         domained = docs.withColumn(
@@ -177,7 +192,7 @@ def main() -> None:
             domained, "doc_id", "text", "source",
             mixture_rates={"src0": 0.8}, default_rate=0.95,
         )
-        n = packed.count()
+        n = checksum_count(packed)
         stats.collect()
         return n
 
@@ -210,6 +225,10 @@ def main() -> None:
             counts["decontam_docs"] = timed("decontaminate", stage_decontaminate)
         if want("tfidf"):
             counts["tfidf_rows"] = timed("tfidf", stage_tfidf)
+        if want("lm_ppl"):
+            counts["lm_ppl_docs"] = timed("lm_ppl", stage_lm_ppl)
+        if want("dsir"):
+            counts["dsir_docs"] = timed("dsir", stage_dsir)
         if want("pack"):
             counts["packed_docs"] = timed("pack", stage_pack)
         if want("corpus_prep"):

@@ -115,6 +115,15 @@ def test_dsir_gram_count_and_empty(spark):
     assert out[3]["n_grams"] == 0 and out[3]["log_w"] is None
 
 
+def test_lm_perplexity_hashed_equals_exact(spark):
+    """hashed=True replaces term strings with xxhash64 keys; absent
+    collisions (certain at this size) scores are bit-identical."""
+    docs = _docs(spark)
+    exact = lm_perplexity(docs, "doc_id", "text").orderBy("id").collect()
+    hashed = lm_perplexity(docs, "doc_id", "text", hashed=True).orderBy("id").collect()
+    assert exact == hashed
+
+
 def test_dsir_hashed_mode(spark):
     """hash_buckets bounds the feature space: n_grams per doc unchanged
     (every gram still emits one hashed feature), output deterministic."""

@@ -79,6 +79,23 @@ def test_decontaminate_short_doc_partial_shingle(spark):
     assert out[2] is False
 
 
+def test_decontaminate_hashed_equals_exact(spark):
+    """hashed=True (numpy positional-combo gram keys) must reproduce
+    the exact-string verdicts — including short-doc partial shingles
+    and per-doc distinct-overlap counts."""
+    docs = _docs(spark).union(
+        spark.createDataFrame([(9, "alpha beta", "web")],
+                              "doc_id long, text string, source string")
+    )
+    bench = docs.filter(F.col("doc_id").isin(0, 9))
+    corpus = docs.filter(~F.col("doc_id").isin(0, 9))
+    for n in (4, 5):
+        exact = decontaminate(corpus, bench, "doc_id", "text", n=n).orderBy("id").collect()
+        hashed = decontaminate(corpus, bench, "doc_id", "text", n=n,
+                               hashed=True).orderBy("id").collect()
+        assert exact == hashed
+
+
 # ---------------------------------------------------------------------------
 # tfidf_topk
 

@@ -30,7 +30,7 @@ from tools.build_dist import build_pyfiles  # noqa: E402
 
 STAGES = ["minhash_lsh", "components", "simhash_k3", "line_dedup",
           "repetition", "emb_dedup_lsh", "ivf_topk",
-          "decontaminate", "tfidf", "pack", "corpus_prep"]
+          "decontaminate", "tfidf", "lm_ppl", "dsir", "pack", "corpus_prep"]
 
 
 def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dict:
