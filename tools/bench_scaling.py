@@ -48,7 +48,9 @@ def run_level(cores: int, pages: int, zpath: str, shuffle: int, hosts: int = 500
         "--shuffle-partitions", str(shuffle),
         "--repeat", "2",
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    # 2 cores × 48M pages with checksum-forced stages (r5: count() no
+    # longer under-measures the window/gapfill work) runs past 30 min
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):

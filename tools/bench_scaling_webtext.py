@@ -150,6 +150,15 @@ def write_report(args, small: dict, big: dict, probes: dict) -> None:
         "capacity at each parallelism the way a dedicated cluster would measure.",
         "Sandbox proxy for the two-cluster-size criterion (no real cluster).",
         "",
+        "Every stage result is forced through bench_util.checksum_count",
+        "(count + bit_xor(xxhash64(all columns)) in one job) — a plain",
+        "count() lets Catalyst prune windows/projections and eliminate",
+        "unique-key joins, under-measuring the operator (r5 fix; earlier",
+        "rounds' absolute numbers for some stages are not comparable).",
+        "tfidf and corpus_prep run on the even-id HALF corpus (the two",
+        "composed/string-heavy stages; both core counts see the identical",
+        "input, so efficiency is unaffected).",
+        "",
         f"| stage | T_N={args.n} (s) | T_4N={args.n * 4} (s) | speedup | efficiency |",
         "|---|---|---|---|---|",
     ]
