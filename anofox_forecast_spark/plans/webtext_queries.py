@@ -877,6 +877,109 @@ def q_corpus_prepare(spark, sf_dir):
     return packed.drop("text")
 
 
+def q_dedup_substring(spark, sf_dir):
+    """ExactSubstr-style duplicate-span removal (Lee et al. 2021): every
+    duplicated 8-token window keeps its corpus-wide first occurrence;
+    overlapping flagged windows merge and are cut from the reassembled
+    text."""
+    from anofox_forecast_spark.webtext.dedup import substring_dedup
+
+    return substring_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", min_tokens=8
+    ).select(F.col("id").alias("doc_id"), "n_tokens", "n_removed",
+             "text_deduped")
+
+
+def sql_dedup_substring():
+    # mirrors the Spark construction: strict stride-1 8-token windows,
+    # first occurrence = row_number over (gram ORDER BY id, pos) = 1,
+    # gaps-and-islands interval merge, positional token cut
+    return r"""
+        WITH words AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '') AS w
+            FROM documents
+        ), grams AS (
+            SELECT id, i - 1 AS pos,
+                   array_to_string(list_slice(w, i, i + 7), ' ') AS g
+            FROM words, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+            WHERE len(w) >= 8
+        ), flagged AS (
+            SELECT id, pos,
+                   count(*) OVER (PARTITION BY g) AS c,
+                   row_number() OVER (PARTITION BY g ORDER BY id, pos) AS rn
+            FROM grams
+        ), spans AS (
+            SELECT id, pos AS s, pos + 8 AS e FROM flagged
+            WHERE c > 1 AND rn > 1
+        ), islands AS (
+            SELECT id, s, e,
+                   sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT id, s, e,
+                         max(e) OVER (PARTITION BY id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+                  FROM spans)
+        ), merged AS (
+            SELECT id, min(s) AS s, max(e) AS e FROM islands
+            GROUP BY id, island
+        ), per_doc AS (
+            SELECT id, sum(e - s) AS n_removed FROM merged GROUP BY id
+        ), toks AS (
+            SELECT id, i - 1 AS pos, w[i] AS tok
+            FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+        ), kept AS (
+            SELECT t.id, t.pos, t.tok FROM toks t
+            WHERE NOT EXISTS (SELECT 1 FROM merged m
+                              WHERE m.id = t.id
+                                AND t.pos >= m.s AND t.pos < m.e)
+        ), rebuilt AS (
+            SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped
+            FROM kept GROUP BY id
+        )
+        SELECT w.id AS doc_id,
+               CAST(len(w.w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(r.text_deduped, '') AS text_deduped
+        FROM words w
+        LEFT JOIN per_doc p ON p.id = w.id
+        LEFT JOIN rebuilt r ON r.id = w.id
+    """
+
+
+def q_corpus_domain_stats(spark, sf_dir):
+    """Per-source corpus sizing report: doc count, token mass, mean doc
+    length, corpus share — the pass that precedes mixture design."""
+    from anofox_forecast_spark.webtext.text_stats import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir), "doc_id", "text", "source")
+
+
+def sql_corpus_domain_stats():
+    return r"""
+        WITH per_doc AS (
+            SELECT source,
+                   len(list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '')) AS nt,
+                   length(text) AS nc
+            FROM documents
+        ), totals AS (SELECT count(*) AS n FROM per_doc)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               round(avg(nt), 4) AS mean_tokens,
+               CAST(sum(nc) AS BIGINT) AS total_chars,
+               round(count(*) / (SELECT n FROM totals), 6) AS doc_share
+        FROM per_doc GROUP BY source
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -906,6 +1009,8 @@ def build_queries():
         "pack_spans": q_pack_spans,
         "pack_greedy": q_pack_greedy,
         "corpus_prepare": q_corpus_prepare,
+        "dedup_substring": q_dedup_substring,
+        "corpus_domain_stats": q_corpus_domain_stats,
     }
 
 
@@ -931,6 +1036,8 @@ def build_oracle_sql():
         "mixture_sample": sql_mixture_sample(),
         "pack_spans": sql_pack_spans(),
         "pack_greedy": sql_pack_greedy(),
+        "dedup_substring": sql_dedup_substring(),
+        "corpus_domain_stats": sql_corpus_domain_stats(),
         # dedup_semantic intentionally omitted → rows-only (k-means
         # quantizer has no DuckDB twin)
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →

@@ -1082,3 +1082,112 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 16,
+    hashed: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style corpus-level duplicate-span removal (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better" —
+    public paper; no reference counterpart): any word span of at least
+    ``min_tokens`` (=L) tokens that occurs more than once corpus-wide is
+    cut out of every occurrence EXCEPT the corpus-wide first (min
+    (doc id, position)).
+
+    Coverage is identical to the paper's suffix-array repeats at
+    granularity L: a duplicated span of length >= L is exactly a maximal
+    run of duplicated L-token windows, so flagging every non-first
+    duplicated window (stride 1) and merging overlapping flagged
+    intervals removes the same text without a global suffix array —
+    which has no distributed construction that beats a hash aggregate.
+
+    Output: (id, n_tokens, n_removed, text_deduped); every input doc
+    appears, n_removed is the count of tokens cut.
+
+    Scale shape: window keys go through ONE ``groupBy(gram)`` hash
+    aggregate — map-side partial aggregation collapses hot boilerplate
+    windows before the shuffle (the ``row_number() OVER (PARTITION BY
+    gram)`` formulation would ship every copy of a 10^6-times-repeated
+    gram to one reducer). Flagged occurrences join back on the gram key
+    against the 1-row-per-gram aggregate (no explosion), intervals merge
+    per doc with ONE window cumsum (gaps-and-islands, single hash
+    Exchange on id), and tokens are cut JVM-side with an indexed
+    ``filter`` against the (few, disjoint) merged spans. The corpus text
+    is tokenized in two plan branches (detection + reassembly); persist
+    the input upstream if the scan dominates. ``hashed=True`` is the
+    corpus-scale path: 8-byte positional-combination window keys from
+    JVM token hashes instead of ~6L-byte gram strings (identical output
+    absent astronomically-unlikely collisions; the string mode is the
+    DuckDB-oracled path).
+    """
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+    w = F.array_remove(_words(text_col), "")
+    docs = df.select(F.col(id_col).alias("id"), w.alias("__w"))
+    if hashed:
+        from .pipeline import _hashed_shingles  # lazy: keep modules acyclic
+
+        gram_arr = _hashed_shingles(text_col, L)
+        empty = F.array().cast("array<bigint>")
+    else:
+        gram_arr = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (L - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, L)),
+        )
+        empty = F.array().cast("array<string>")
+    # strict windows only: docs shorter than L contribute nothing (a
+    # partial window is a span < L and must never be cut)
+    gram_arr = F.when(F.size(w) >= L, gram_arr).otherwise(empty)
+    grams = df.select(
+        F.col(id_col).alias("id"), F.posexplode(gram_arr).alias("pos", "__g")
+    )
+    first = grams.groupBy("__g").agg(
+        F.min(F.struct("id", "pos")).alias("k"), F.count("*").alias("c")
+    )
+    spans = (
+        grams.join(first, "__g")
+        .filter(
+            (F.col("c") > 1)
+            & ~((F.col("k.id") == F.col("id")) & (F.col("k.pos") == F.col("pos")))
+        )
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + L).alias("e"))
+    )
+    wdoc = Window.partitionBy("id").orderBy("s")
+    prev_max = F.max("e").over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = spans.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        ).over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("n_removed"),
+    )
+    spans_arr = F.coalesce(
+        "__spans", F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        "__w",
+        lambda tok, i: ~F.exists(
+            spans_arr, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return (
+        docs.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.size("__w").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("text_deduped"),
+        )
+    )

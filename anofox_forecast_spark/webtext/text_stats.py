@@ -370,3 +370,40 @@ def term_stats(
         "idf",
         F.round(F.log((n_col + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0, 6),
     ).drop("__n_docs")
+
+
+
+def domain_stats(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source corpus sizing report: (source, n_docs, total_tokens,
+    mean_tokens, total_chars, doc_share) — the pass that sizes a mixture
+    design (cf. The Pile / Dolma dataset cards; public methodology, no
+    reference counterpart).
+
+    One hash aggregate over the source key (map-side combine, sources
+    are few) plus a broadcast 1-row total-count branch for doc_share
+    (the term_stats trick — no second corpus scan, no driver action).
+    """
+    nt = F.size(F.array_remove(_tokens(F.col(text_col)), ""))
+    per = df.select(
+        F.col(source_col).alias("source"),
+        nt.alias("__nt"),
+        F.length(text_col).alias("__nc"),
+    )
+    counted = F.broadcast(df.agg(F.count("*").alias("__n_total")))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("__nt"), 4).alias("mean_tokens"),
+            F.sum("__nc").cast("bigint").alias("total_chars"),
+        )
+        .crossJoin(counted)
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.col("__n_total"), 6),
+        )
+        .drop("__n_total")
+    )

@@ -336,3 +336,97 @@ def test_pack_validates_params(spark):
         pack_sequences(docs, "doc_id", "source", "nt", budget=0)
     with pytest.raises(ValueError):
         pack_greedy(docs, "doc_id", "source", "nt", budget=100, shards=0)
+
+
+# substring_dedup (ExactSubstr, Lee et al. 2021)
+
+
+SUB_DOCS = [
+    # doc 0 and doc 1 share the 10-token run "t1 .. t10"; doc 1 also has
+    # unique tokens around it. doc 2 repeats doc 0's tail AND doc 1's
+    # head regions so its two flagged windows OVERLAP and must merge.
+    (0, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 u0a u0b"),
+    (1, "v1a v1b t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 w1a"),
+    (2, "t3 t4 t5 t6 t7 t8 t9 t10 u0a u0b x2a x2b"),
+    (3, "completely different content with no shared runs at all yes"),
+    (4, "short doc"),
+]
+
+
+def _sub_docs(spark):
+    return spark.createDataFrame(SUB_DOCS, "doc_id long, text string")
+
+
+def test_substring_dedup_keeps_first_and_merges_spans(spark):
+    from anofox_forecast_spark.webtext.dedup import substring_dedup
+
+    out = {
+        r["id"]: r
+        for r in substring_dedup(
+            _sub_docs(spark), "doc_id", "text", min_tokens=8
+        ).collect()
+    }
+    # doc 0 is the corpus-wide first occurrence of every duplicated
+    # window it contains -> untouched
+    assert out[0]["n_removed"] == 0
+    assert out[0]["text_deduped"] == SUB_DOCS[0][1]
+    # doc 1: windows over t1..t10 are all duplicates of doc 0's ->
+    # flagged windows [2,10) and [3,11) and [4,12) merge to [2,12);
+    # the unique frame survives
+    assert out[1]["text_deduped"] == "v1a v1b w1a"
+    assert out[1]["n_removed"] == 10
+    # doc 2: t3..t10+u0a u0b duplicates doc 0's suffix -> [0,10) cut
+    assert out[2]["text_deduped"] == "x2a x2b"
+    assert out[2]["n_removed"] == 10
+    # clean and short docs pass through whole
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0 and out[4]["text_deduped"] == "short doc"
+
+
+def test_substring_dedup_every_doc_present_and_counts(spark):
+    from anofox_forecast_spark.webtext.dedup import substring_dedup
+
+    rows = substring_dedup(_sub_docs(spark), "doc_id", "text",
+                           min_tokens=8).collect()
+    assert {r["id"] for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert r["n_tokens"] >= r["n_removed"] >= 0
+        kept = [t for t in r["text_deduped"].split(" ") if t]
+        assert len(kept) == r["n_tokens"] - r["n_removed"]
+
+
+def test_substring_dedup_hashed_equals_exact(spark):
+    from anofox_forecast_spark.webtext.dedup import substring_dedup
+
+    docs = _sub_docs(spark)
+    exact = sorted(
+        substring_dedup(docs, "doc_id", "text", min_tokens=8).collect())
+    hashed = sorted(
+        substring_dedup(docs, "doc_id", "text", min_tokens=8,
+                        hashed=True).collect())
+    assert exact == hashed
+
+
+def test_substring_dedup_rejects_tiny_window(spark):
+    from anofox_forecast_spark.webtext.dedup import substring_dedup
+
+    with pytest.raises(ValueError):
+        substring_dedup(_sub_docs(spark), "doc_id", "text", min_tokens=1)
+
+
+# ---------------------------------------------------------------------------
+# domain_stats
+
+
+def test_domain_stats_report(spark):
+    from anofox_forecast_spark.webtext.text_stats import domain_stats
+
+    out = {
+        r["source"]: r
+        for r in domain_stats(_docs(spark), "doc_id", "text",
+                              "source").collect()
+    }
+    assert out["web"]["n_docs"] == 3 and out["books"]["n_docs"] == 2
+    assert out["web"]["total_tokens"] == 6 + 7 + 6
+    assert abs(out["web"]["doc_share"] - 0.6) < 1e-9
+    assert abs(out["books"]["mean_tokens"] - 7.0) < 1e-9

@@ -332,6 +332,42 @@ def main() -> None:
     assert "ArrowEvalPython" not in plan21 and "BatchEvalPython" not in plan21, (
         "DSIR scoring must stay JVM-side")
 
+    # 22. ExactSubstr dedup: first-occurrence selection over the
+    # (hot-key) gram must be a HASH AGGREGATE with map-side combine —
+    # the only Window allowed is the per-doc interval merge (partitioned
+    # by doc id, skew-free); token cutting stays JVM-side
+    from anofox_forecast_spark.webtext.dedup import substring_dedup
+
+    sd = substring_dedup(docs, "doc_id", "text", min_tokens=8)
+    plan22 = grab(sd)
+    sections.append((
+        "ExactSubstr dedup (gram hash-agg first-occurrence; one per-doc interval-merge window)",
+        plan22,
+        ["HashAggregate", "Window", "Generate"],
+    ))
+    # the merge needs two frames (prev-max, then running sum) — Spark
+    # plans them as two adjacent Window nodes sharing ONE id-hash
+    # Exchange; both partition by doc id, never by the (skewed) gram key
+    assert plan22.count("Window (") == 2, (
+        "only the per-doc gaps-and-islands merge may use windows — never "
+        "the (skewed) gram key")
+    assert "CartesianProduct" not in plan22
+    assert "ArrowEvalPython" not in plan22 and "BatchEvalPython" not in plan22, (
+        "exact-mode substring dedup must stay JVM-side")
+
+    # 23. domain stats: one hash aggregate over the few-valued source key
+    # plus the zero-column broadcast count branch; all JVM
+    from anofox_forecast_spark.webtext.text_stats import domain_stats
+
+    ds = domain_stats(docs, "doc_id", "text", "source")
+    plan23 = grab(ds)
+    sections.append((
+        "Domain stats (one hash agg + broadcast total-count branch)",
+        plan23,
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+    ))
+    assert "ArrowEvalPython" not in plan23 and "BatchEvalPython" not in plan23
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
