@@ -980,6 +980,246 @@ def sql_corpus_domain_stats():
     """
 
 
+def q_text_c4_filters(spark, sf_dir):
+    """C4 page/line quality filters (Raffel et al. 2020 §2.2) over a
+    deterministically line-structured view of the corpus: the synth docs
+    carry no newlines or punctuation, so words are regrouped into
+    10-token lines and each line gets a content-dependent terminator
+    (len%3==0 -> '.', len%3==2 -> '?', else none) — built identically in
+    the DuckDB twin, so the rules run on a real mix of kept/dropped
+    lines and kept/dropped pages, not a vacuous all-pass/all-fail."""
+    from anofox_forecast_spark.webtext.clean import c4_page_filters
+
+    w = F.array_remove(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\p{L}\p{N} ]", " ")),
+            r" +",
+        ),
+        "",
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", w.alias("__w"))
+    n = F.greatest(F.ceil(F.size("__w") / F.lit(10.0)).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(F.col("__w"), i * F.lit(10) + F.lit(1), 10), " "
+        ),
+    )
+    deco = F.transform(
+        lines,
+        lambda line: F.when(
+            F.length(line) % 3 == 0, F.concat(line, F.lit("."))
+        )
+        .when(F.length(line) % 3 == 2, F.concat(line, F.lit("?")))
+        .otherwise(line),
+    )
+    pages = docs.select("doc_id", F.array_join(deco, "\n").alias("text"))
+    return c4_page_filters(pages, "doc_id", "text")
+
+
+def sql_text_c4_filters():
+    # identical line synthesis (10-token lines, len%3 terminator), then
+    # the C4 rules: terminal punct + >=5 words + no 'javascript' per
+    # line; >=3 sentence terminators, no '{', no 'lorem ipsum' per page
+    return r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '') AS w
+            FROM documents
+        ), lines0 AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS l
+            FROM words,
+                 UNNEST(range(0, greatest(CAST(ceil(len(w) / 10.0) AS BIGINT), 1)))
+                     AS t(i)
+        ), deco AS (
+            SELECT doc_id, i,
+                   CASE length(l) % 3 WHEN 0 THEN l || '.'
+                                      WHEN 2 THEN l || '?'
+                                      ELSE l END AS l
+            FROM lines0
+        ), pages AS (
+            SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text
+            FROM deco GROUP BY doc_id
+        ), base AS (
+            SELECT doc_id AS id, text,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)), x -> x <> '') AS ls
+            FROM pages
+        ), k AS (
+            SELECT id, text, ls,
+                   list_filter(ls, l ->
+                       regexp_matches(l, '[.!?"]$')
+                       AND len(list_filter(string_split_regex(l, '\s+'),
+                                           w -> w <> '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM base
+        ), f AS (
+            SELECT id,
+                   CAST(len(ls) AS INTEGER) AS n_lines,
+                   CAST(len(kept) AS INTEGER) AS n_kept,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   contains(text, '{') AS has_brace,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem
+            FROM k
+        )
+        SELECT id, n_lines, n_kept,
+               CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g'))
+                    AS INTEGER) AS n_sentences,
+               has_brace, has_lorem,
+               (length(regexp_replace(clean_text, '[^.!?]', '', 'g')) >= 3
+                AND NOT has_brace AND NOT has_lorem) AS keep_page,
+               clean_text
+        FROM f
+    """
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC normalization + control strip + whitespace collapse.
+    The synth corpus is pure ASCII, so combining sequences, a C0 control
+    char, and a whitespace run are injected deterministically (literal
+    replaces, same in the DuckDB twin) — the oracle then pins Spark's
+    pandas `str.normalize('NFC')` against DuckDB's `nfc_normalize`, a
+    genuine cross-engine Unicode-table contract."""
+    from anofox_forecast_spark.webtext.clean import normalize_text
+
+    t = F.col("text")
+    injected = F.replace(
+        F.replace(t, F.lit(" the "), F.lit("  the\x07 ")),
+        F.lit("e"),
+        F.lit("e\u0301"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    return normalize_text(docs, "doc_id", "text", form="NFC")
+
+
+def sql_text_normalize():
+    return r"""
+        WITH injected AS (
+            SELECT doc_id AS id,
+                   replace(replace(text, ' the ', '  the' || chr(7) || ' '),
+                           'e', 'e' || chr(769)) AS t
+            FROM documents
+        ), cleaned AS (
+            SELECT id, t,
+                   trim(regexp_replace(
+                       nfc_normalize(regexp_replace(
+                           t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+                       '\s+', ' ', 'g')) AS text_norm
+            FROM injected
+        )
+        SELECT id, text_norm,
+               CAST(length(t) AS INTEGER) AS n_chars_raw,
+               CAST(length(text_norm) AS INTEGER) AS n_chars_norm,
+               text_norm <> t AS changed
+        FROM cleaned
+    """
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Crawl-URL canonicalization for URL-level dedup. The documents
+    table has no url column, so one is synthesized deterministically
+    from (doc_id, source) with mixed-case scheme/host, default and
+    non-default ports, duplicate slashes, trailing slashes, tracking
+    params, unsorted params, and fragments — identically in the DuckDB
+    twin — so every normalization rule is exercised."""
+    from anofox_forecast_spark.webtext.clean import canonicalize_urls
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":80"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Dir//"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="),
+        (d % 5).cast("string"),
+        F.lit("&a=1"),
+        F.when(d % 2 == 0, F.lit("&fbclid=x")).otherwise(F.lit("")),
+        F.lit("#sec"),
+        (d % 3).cast("string"),
+    )
+    urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return canonicalize_urls(urls, "doc_id", "url")
+
+
+def sql_url_canonicalize():
+    return r"""
+        WITH urls AS (
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END
+                   || '://WWW.' || source
+                   || CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                                      WHEN 2 THEN ':8080' ELSE '' END
+                   || '/Dir//' || CAST(doc_id % 7 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                   || '?utm_source=feed&z=' || CAST(doc_id % 5 AS VARCHAR)
+                   || '&a=1'
+                   || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=x' ELSE '' END
+                   || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+            FROM documents
+        ), s0 AS (
+            SELECT id, regexp_replace(url, '#.*$', '') AS u FROM urls
+        ), p AS (
+            SELECT id,
+                   lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS scheme,
+                   regexp_replace(lower(regexp_extract(
+                       u, '^[^:/?#]+://([^/?#]*)', 1)), '^www\.', '') AS hostport,
+                   regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS rest
+            FROM s0
+        ), h AS (
+            SELECT id, scheme, rest,
+                   CASE WHEN scheme = 'http'
+                            THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https'
+                            THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host
+            FROM p
+        ), pa0 AS (
+            SELECT *, regexp_replace(regexp_replace(rest, '\?.*$', ''),
+                                     '/{2,}', '/') AS path0
+            FROM h
+        ), pa1 AS (
+            SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path1
+            FROM pa0
+        ), pa AS (
+            SELECT id, scheme, host, rest,
+                   CASE WHEN path1 <> '/' AND path1 LIKE '%/'
+                        THEN substring(path1, 1, length(path1) - 1)
+                        ELSE path1 END AS path
+            FROM pa1
+        ), q0 AS (
+            SELECT *, list_filter(string_split(
+                          regexp_extract(rest, '\?(.*)$', 1), '&'),
+                          x -> x <> '') AS params
+            FROM pa
+        ), q1 AS (
+            SELECT *, array_to_string(list_sort(list_filter(params, x ->
+                       NOT regexp_matches(x,
+                           '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))),
+                       '&') AS query_canon,
+                      len(list_filter(params, x ->
+                       NOT regexp_matches(x,
+                           '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))) AS n_kept
+            FROM q0
+        )
+        SELECT id,
+               scheme || '://' || host || path
+               || CASE WHEN query_canon <> '' THEN '?' || query_canon
+                       ELSE '' END AS url_canon,
+               scheme, host, path, query_canon,
+               CAST(len(params) - n_kept AS INTEGER) AS n_params_dropped
+        FROM q1
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -1011,6 +1251,9 @@ def build_queries():
         "corpus_prepare": q_corpus_prepare,
         "dedup_substring": q_dedup_substring,
         "corpus_domain_stats": q_corpus_domain_stats,
+        "text_c4_filters": q_text_c4_filters,
+        "text_normalize": q_text_normalize,
+        "url_canonicalize": q_url_canonicalize,
     }
 
 
@@ -1038,6 +1281,9 @@ def build_oracle_sql():
         "pack_greedy": sql_pack_greedy(),
         "dedup_substring": sql_dedup_substring(),
         "corpus_domain_stats": sql_corpus_domain_stats(),
+        "text_c4_filters": sql_text_c4_filters(),
+        "text_normalize": sql_text_normalize(),
+        "url_canonicalize": sql_url_canonicalize(),
         # dedup_semantic intentionally omitted → rows-only (k-means
         # quantizer has no DuckDB twin)
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →

@@ -368,6 +368,37 @@ def main() -> None:
     ))
     assert "ArrowEvalPython" not in plan23 and "BatchEvalPython" not in plan23
 
+    # 24. cleaning operators: C4 filters + URL canonicalization pure
+    # codegen (no Exchange, no Python); unicode normalization exactly ONE
+    # ArrowEvalPython even though text_norm feeds three output columns
+    from anofox_forecast_spark.webtext.clean import (
+        c4_page_filters,
+        canonicalize_urls,
+        normalize_text,
+    )
+
+    c4 = c4_page_filters(docs, "doc_id", "text")
+    plan24a = grab(c4)
+    assert "Exchange" not in plan24a and "Python" not in plan24a
+    urls = docs.select("doc_id", F.concat(
+        F.lit("https://www."), F.col("source"), F.lit("/p?a=1&utm_s=x"),
+    ).alias("url"))
+    plan24b = grab(canonicalize_urls(urls, "doc_id", "url"))
+    assert "Exchange" not in plan24b and "Python" not in plan24b
+    nt = normalize_text(docs, "doc_id", "text")
+    plan24c = grab(nt)
+    # formatted output names each node twice (tree line + detail header):
+    # count detail headers only
+    import re as _re
+
+    n_arrow_nodes = len(_re.findall(r"\(\d+\) ArrowEvalPython", plan24c))
+    assert n_arrow_nodes == 1 and "Exchange" not in plan24c
+    sections.append((
+        "Cleaning ops (C4 filters / URL canon: codegen only; NFC: one ArrowEvalPython)",
+        plan24a + "\n" + plan24b + "\n" + plan24c,
+        ["Project", "ArrowEvalPython"],
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
