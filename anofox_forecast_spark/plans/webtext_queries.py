@@ -476,6 +476,65 @@ def sql_dedup_components():
     """
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Keep/drop verdict per doc: one canonical survivor (longest text in
+    UTF-8 bytes, smallest-id tie-break) per duplicate group over the
+    oracled n-gram Jaccard pair graph — the step that turns dedup
+    analysis into an actual corpus filter. Oracle: DuckDB recursive CTE
+    for the identical components + window arg-max for the survivor."""
+    from anofox_forecast_spark.webtext.dedup import (
+        canonical_docs,
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = connected_components(pairs)
+    return canonical_docs(docs, "doc_id", "text", comp)
+
+
+def sql_dedup_canonical():
+    # identical edge set + recursive reachability as sql_dedup_components,
+    # then: singleton docs fold in via LEFT JOIN + coalesce, survivor =
+    # row_number over (byte-length DESC, id ASC) — the oracle may use a
+    # window (it replays semantics, not the scale shape)
+    base = sql_dedup_ngram_jaccard().strip()
+    assert base.startswith("WITH ")
+    inner = base[len("WITH "):]
+    return f"""
+        WITH RECURSIVE {inner.replace('SELECT i.id_a', ', prs AS (SELECT i.id_a', 1)}
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM prs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM prs
+        ), reach(id, label) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+        ), comp AS (
+            SELECT id, min(label) AS component FROM reach GROUP BY id
+        ), lab AS (
+            SELECT d.doc_id AS id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   strlen(d.text) AS n_bytes
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ), ranked AS (
+            SELECT id, component, n_bytes,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_bytes DESC, id ASC) AS rn,
+                   CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                       AS n_members
+            FROM lab
+        ), best AS (
+            SELECT component, id AS canonical_id, n_members
+            FROM ranked WHERE rn = 1
+        )
+        SELECT l.id AS doc_id, l.component, b.canonical_id,
+               l.id = b.canonical_id AS keep, b.n_members
+        FROM lab l JOIN best b ON l.component = b.component
+    """
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -785,6 +844,35 @@ def sql_mixture_sample():
               < 2147483648.0 * CASE source WHEN 'src0' THEN 0.6
                                            WHEN 'src1' THEN 0.3
                                            ELSE 0.1 END
+    """
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Reproducible global shuffle: shard from the LCG key's high bits,
+    position = rank within shard by (key, id) — the deterministic read
+    order a training run resumes from. DuckDB replays the identical
+    permutation (all-int64 LCG)."""
+    from anofox_forecast_spark.webtext.pipeline import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir), "doc_id", n_shards=16, seed=7)
+
+
+def sql_corpus_shuffle():
+    # same LCG step on (doc_id + 7), shard = high bits (key * 16 // 2^31
+    # — exact in double: key*16 < 2^35), pos = rank within shard
+    return """
+        WITH k AS (
+            SELECT doc_id,
+                   (((doc_id + 7) % 2147483648) * 1103515245 + 12345)
+                       % 2147483648 AS key
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(floor((key * 16) / 2147483648.0) AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                        PARTITION BY CAST(floor((key * 16) / 2147483648.0) AS BIGINT)
+                        ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+        FROM k
     """
 
 
@@ -1220,6 +1308,95 @@ def sql_url_canonicalize():
     """
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE tokenizer: distributed word-frequency pass (the only shuffle),
+    driver-side merge learning over the bounded (word,freq) table, then
+    zero-shuffle tokenization with the merge ranks broadcast in the UDF
+    closure. Rows-only: no DuckDB twin exists for the merge recursion
+    (same class as the optimizer recursions)."""
+    from anofox_forecast_spark.webtext.bpe import bpe_tokenize, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, "text", n_merges=200, max_words=20_000)
+    return bpe_tokenize(docs, "doc_id", "text", merges).select(
+        "id", "n_tokens", "n_words"
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML → text extraction (the ingest step of the pipeline's input
+    contract: Common-Crawl pages carry an html payload). The documents
+    table stores extracted text, so a deterministic HTML wrapper is
+    synthesized around it (title from source, per-12-token paragraph
+    tags, a script block and a link that must NOT leak into the output)
+    and the extractor must recover title/text/link count. Rows-only: no
+    DuckDB HTML parser exists."""
+    from anofox_forecast_spark.webtext.html_extract import extract_html
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title><style>x{}</style></head><body><p>"),
+        F.regexp_replace(F.col("text"), r"((\S+ ){11}\S+) ", "$1</p><p>"),
+        F.lit("</p><script>var boiler=1;</script>"),
+        F.lit("<a href='/next'>next</a></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_html(pages, "doc_id", "html")
+
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC source roundtrip: one ISO-28500 response record per doc is
+    synthesized JVM-side (url/date headers + HTTP 200 envelope around the
+    doc text, Content-Length in bytes), then the real mapInPandas parser
+    must recover every field and the byte-identical body. Oracle: DuckDB
+    computes the expected fields straight from `documents` — parse must
+    invert synth exactly (sha256 pins the body bytes)."""
+    from anofox_forecast_spark.sources.warc import parse_warc_records
+
+    docs = _docs(spark, sf_dir)
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        F.col("text"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "Content-Type: application/http; msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    files = docs.select(url.alias("p"), F.encode(warc, "UTF-8").alias("c"))
+    recs = parse_warc_records(files, "p", "c")
+    return recs.select(
+        "url",
+        "warc_date",
+        "http_status",
+        F.sha2(F.col("payload"), 256).alias("body_sha"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def sql_warc_ingest():
+    # the parser must invert the synthesizer: expected outputs computed
+    # directly from the source table (byte-identical body via sha256 —
+    # the engine's text invariant, applied at the ingest boundary)
+    return """
+        SELECT 'https://' || source || '/doc/' || doc_id AS url,
+               '2026-01-01T00:00:00Z' AS warc_date,
+               200 AS http_status,
+               sha256(text) AS body_sha,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -1235,6 +1412,7 @@ def build_queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_fingerprint": q_text_fingerprint,
         "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "text_redact_pii": q_text_redact_pii,
         "text_term_stats": q_text_term_stats,
         "text_repetition": q_text_repetition,
@@ -1246,6 +1424,7 @@ def build_queries():
         "text_lm_ppl": q_text_lm_ppl,
         "text_dsir": q_text_dsir,
         "mixture_sample": q_mixture_sample,
+        "corpus_shuffle": q_corpus_shuffle,
         "pack_spans": q_pack_spans,
         "pack_greedy": q_pack_greedy,
         "corpus_prepare": q_corpus_prepare,
@@ -1254,6 +1433,9 @@ def build_queries():
         "text_c4_filters": q_text_c4_filters,
         "text_normalize": q_text_normalize,
         "url_canonicalize": q_url_canonicalize,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "html_extract": q_html_extract,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -1267,6 +1449,7 @@ def build_oracle_sql():
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_embedding": sql_dedup_embedding(),
         "dedup_components": sql_dedup_components(),
+        "dedup_canonical": sql_dedup_canonical(),
         "text_redact_pii": sql_text_redact_pii(),
         "text_term_stats": sql_text_term_stats(),
         "text_repetition": sql_text_repetition(),
@@ -1277,6 +1460,7 @@ def build_oracle_sql():
         "text_lm_ppl": sql_text_lm_ppl(),
         "text_dsir": sql_text_dsir(),
         "mixture_sample": sql_mixture_sample(),
+        "corpus_shuffle": sql_corpus_shuffle(),
         "pack_spans": sql_pack_spans(),
         "pack_greedy": sql_pack_greedy(),
         "dedup_substring": sql_dedup_substring(),
@@ -1284,6 +1468,7 @@ def build_oracle_sql():
         "text_c4_filters": sql_text_c4_filters(),
         "text_normalize": sql_text_normalize(),
         "url_canonicalize": sql_url_canonicalize(),
+        "warc_ingest": sql_warc_ingest(),
         # dedup_semantic intentionally omitted → rows-only (k-means
         # quantizer has no DuckDB twin)
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →

@@ -945,6 +945,70 @@ def _cc_alternating(
     )
 
 
+def canonical_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    components: DataFrame,
+    keep: str = "longest",
+) -> DataFrame:
+    """Duplicate groups → one survivor per group: the keep/drop verdict a
+    dedup pipeline actually applies after ``connected_components``.
+
+    ``components`` is (id, component); docs absent from it (never in any
+    pair) are singletons and their own component. ``keep='longest'``
+    keeps the longest text — measured in UTF-8 BYTES (engine-portable;
+    Spark ``length()`` counts UTF-16 code units, DuckDB ``length()``
+    counts code points, so byte length is the only cross-engine contract
+    for non-BMP text) — smallest id breaking ties; ``keep='first'``
+    keeps the smallest id.
+
+    Output is the FULL verdict (one row per doc: component,
+    canonical_id, keep, n_members), not survivors-only, so drop
+    decisions are auditable and the filter composes downstream.
+
+    Scale shape: byte length is projected BEFORE any shuffle (the text
+    payload never moves); one join on id, one groupBy(component) agg —
+    the arg-max rides a single ``max(struct)`` (partial+final
+    SortAggregate: struct ordering has no fixed-width HashAggregate
+    buffer, but map-side combine still collapses group members before
+    the exchange — the property a row_number window lacks, since a
+    window moves EVERY member of hot components uncombined) — then one
+    join back on component that reuses the aggregation's partitioning. No
+    reference counterpart (driver-prompt training-pipeline operator).
+    """
+    if keep not in ("longest", "first"):
+        raise ValueError(f"unknown keep {keep!r} (longest|first)")
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.octet_length(F.col(text_col)).cast("long").alias("__nb"),
+    )
+    lab = (
+        docs.join(components.select("id", "component"), "id", "left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+    )
+    # lexicographic max(struct) = (longest, then smallest id): negate the
+    # id so the tie-break maximizes toward the smallest
+    if keep == "longest":
+        pref = F.struct(F.col("__nb").alias("a"), (-F.col("id")).alias("b"))
+    else:
+        pref = F.struct((-F.col("id")).alias("a"), F.lit(0).cast("long").alias("b"))
+    best = lab.groupBy("component").agg(
+        F.max(pref).alias("__best"), F.count("*").alias("n_members")
+    )
+    canonical = (
+        -F.col("__best.b") if keep == "longest" else -F.col("__best.a")
+    ).alias("canonical_id")
+    best = best.select("component", canonical, "n_members")
+    return lab.join(best, "component").select(
+        F.col("id").alias("doc_id"),
+        "component",
+        "canonical_id",
+        (F.col("id") == F.col("canonical_id")).alias("keep"),
+        "n_members",
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",

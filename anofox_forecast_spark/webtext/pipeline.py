@@ -276,6 +276,45 @@ def mixture_sample(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 64, seed: int = 0
+) -> DataFrame:
+    """Reproducible global corpus shuffle: (doc_id, shard, pos) — the
+    deterministic random order + sharding a training run reads, fixed by
+    (id, seed) alone, never by partition layout (``df.orderBy(rand())``
+    changes across resumes; this doesn't).
+
+    key = one LCG step on (id + seed); shard = the key's HIGH bits
+    (``key * n_shards // 2^31`` — for a power-of-two-modulus LCG the low
+    bits have period 2^k, so ``key % n_shards`` would stripe sequential
+    ids round-robin), pos = dense rank within the shard ordered by
+    (key, id). Emitting (shard, pos) explicitly — rather than relying on
+    output file order — makes the permutation verifiable and resumable.
+
+    Scale shape: one Exchange on shard + per-shard sort; shards are the
+    parallel unit (pick >> cores at 100 TB — same contract as
+    pack_sequences' streams). The LCG keeps all arithmetic int64-exact
+    in BOTH engines so the DuckDB oracle replays the identical
+    permutation; at production scale swap ``F.xxhash64(id, seed)`` for
+    the key (the ordering contract is unchanged).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = ((F.col(id_col) + F.lit(int(seed))) % _LCG_MOD) * _LCG_MUL + _LCG_ADD
+    key = h % _LCG_MOD
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("__key"),
+        F.floor((key * F.lit(int(n_shards))) / F.lit(_LCG_MOD)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 

@@ -11,8 +11,10 @@ Stages (each timed; one JSON line on stdout; --stages selects a subset):
   connected components over the minhash pairs -> simhash(k=3) dedup ->
   C4 line dedup -> Gopher repetition stats -> embedding-LSH near-dup ->
   IVF ANN top-k -> benchmark decontamination (0.1% eval set) -> TF-IDF
-  top-k terms -> sequence packing (64 shards) -> prepare_corpus (the
-  full composed pipeline: verdict joins + single filter + stats).
+  top-k terms -> sequence packing (64 shards) -> unicode normalization
+  (NFC + control strip + whitespace collapse, the pandas-UDF cleaning
+  pass) -> prepare_corpus (the full composed pipeline: verdict joins +
+  single filter + stats).
 
 The vector corpus carries near-duplicate structure (near_rate=0.08,
 ε=0.25 → cosines ≈0.94-0.97) so emb_dedup_lsh emits a real pair count
@@ -190,6 +192,15 @@ def main() -> None:
             sized, "doc_id", "source", "nt", budget=2048, shards=64
         ))
 
+    def stage_normalize():
+        # unicode NFC + control strip + whitespace collapse: the cleaning
+        # pass every crawl ingest runs first; the one pandas-UDF cleaning
+        # op (Series.str.normalize), so its scaling row measures the
+        # Arrow round-trip + per-string C calls, not JVM codegen
+        from anofox_forecast_spark.webtext.clean import normalize_text
+
+        return checksum_count(normalize_text(docs, "doc_id", "text"))
+
     def stage_corpus_prep():
         domained = half.withColumn(
             "source", F.concat(F.lit("src"), (F.col("doc_id") % 4))
@@ -237,6 +248,8 @@ def main() -> None:
             counts["dsir_docs"] = timed("dsir", stage_dsir)
         if want("pack"):
             counts["packed_docs"] = timed("pack", stage_pack)
+        if want("normalize"):
+            counts["normalize_docs"] = timed("normalize", stage_normalize)
         if want("corpus_prep"):
             counts["corpus_kept"] = timed("corpus_prep", stage_corpus_prep)
         if it < n_rep - 1:

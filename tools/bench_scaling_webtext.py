@@ -30,7 +30,8 @@ from tools.build_dist import build_pyfiles  # noqa: E402
 
 STAGES = ["minhash_lsh", "components", "simhash_k3", "line_dedup",
           "repetition", "emb_dedup_lsh", "ivf_topk",
-          "decontaminate", "tfidf", "lm_ppl", "dsir", "pack", "corpus_prep"]
+          "decontaminate", "tfidf", "lm_ppl", "dsir", "pack",
+          "normalize", "corpus_prep"]
 
 
 def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dict:
@@ -52,7 +53,7 @@ def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dic
         "--shuffle-partitions", str(shuffle),
         "--repeat", "1",
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):

@@ -399,6 +399,51 @@ def main() -> None:
         ["Project", "ArrowEvalPython"],
     ))
 
+    # 25. r5 late additions: BPE tokenize + HTML extract are each exactly
+    # ONE ArrowEvalPython with no Exchange (closure-broadcast ranks /
+    # single-parse struct projection); canonical_docs is window-free
+    # (arg-max as max(struct) hash agg); corpus_shuffle has exactly one
+    # Exchange (the shard partition for its per-shard rank window)
+    import re as _re25
+
+    from anofox_forecast_spark.webtext.bpe import bpe_tokenize
+    from anofox_forecast_spark.webtext.dedup import canonical_docs
+    from anofox_forecast_spark.webtext.html_extract import extract_html
+    from anofox_forecast_spark.webtext.pipeline import corpus_shuffle
+
+    plan25a = grab(bpe_tokenize(docs, "doc_id", "text", [("t", "h"), ("th", "e")]))
+    assert "Exchange" not in plan25a
+    assert len(_re25.findall(r"\(\d+\) ArrowEvalPython", plan25a)) == 1
+    pages25 = docs.select(
+        "doc_id",
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html"),
+    )
+    plan25b = grab(extract_html(pages25, "doc_id", "html"))
+    assert "Exchange" not in plan25b
+    assert len(_re25.findall(r"\(\d+\) ArrowEvalPython", plan25b)) == 1
+    comp25 = docs.select(F.col("doc_id").alias("id"),
+                         (F.col("doc_id") % 10).alias("component"))
+    plan25c = grab(canonical_docs(docs, "doc_id", "text", comp25))
+    assert "Window" not in plan25c and "Python" not in plan25c
+    # struct-ordered max is not HashAggregate-able (no fixed-width buffer);
+    # what matters at scale is PARTIAL + final aggregation (map-side combine
+    # collapses duplicate-group members before the exchange — the property a
+    # window arg-max lacks): assert both SortAggregate halves are present
+    assert len(_re25.findall(r"\(\d+\) SortAggregate", plan25c)) >= 2
+    plan25d = grab(corpus_shuffle(docs, "doc_id", n_shards=16))
+    assert len(_re25.findall(r"\(\d+\) Exchange", plan25d)) == 1, (
+        "corpus_shuffle must shuffle exactly once (on shard)")
+    assert "Python" not in plan25d
+    sections.append((
+        "r5 late ops (BPE tokenize / HTML extract: one ArrowEvalPython, no "
+        "Exchange; canonical_docs: window-free partial+final SortAggregate "
+        "arg-max — struct max has no fixed-width HashAggregate buffer, but "
+        "map-side combine still collapses group members pre-shuffle; "
+        "corpus_shuffle: one Exchange)",
+        plan25a + "\n" + plan25b + "\n" + plan25c + "\n" + plan25d,
+        ["ArrowEvalPython", "SortAggregate", "Window"],
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
