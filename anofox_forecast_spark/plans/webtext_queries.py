@@ -1397,6 +1397,87 @@ def sql_warc_ingest():
     """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-style quality classifier: distributed full-batch
+    logreg fit (one JVM DataFrame job per epoch, micro-quantized
+    weights/residuals so fitting is bit-reproducible under any
+    partition layout), then scoring over the corpus. Labels are a
+    deterministic proxy (doc text contains a digit) so the fit is
+    non-vacuous. Rows-only: the epoch recursion has no SQL twin (same
+    class as the optimizer recursions)."""
+    from anofox_forecast_spark.webtext.classifier import fit_logreg, score_logreg
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn(
+        "label", F.col("text").rlike("[0-9]").cast("int")
+    )
+    model = fit_logreg(
+        labeled, "doc_id", "text", "label",
+        n_buckets=1 << 14, epochs=5, lr=2.0,
+    )
+    return score_logreg(docs, "doc_id", "text", model).select(
+        "id", "margin_micro", "pred"
+    )
+
+
+def q_quality_score_formula(spark, sf_dir):
+    """The classifier's SCORING plan under closed-form portable weights
+    (w_micro(tok) from int64 arithmetic on the token's byte length):
+    explode → weight → one groupBy(id) Exchange → verdict. Full DuckDB
+    twin — the margin is an exact int64 in both engines."""
+    from anofox_forecast_spark.webtext.classifier import score_formula_weights
+
+    return score_formula_weights(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def sql_quality_score_formula():
+    return r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +')) AS w
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   SUM((strlen(w) * 1103515245 + 12345) % 2000001 - 1000000)
+                       AS margin
+            FROM toks WHERE w <> '' GROUP BY doc_id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(m.margin, 0) AS margin_micro,
+               coalesce(m.margin, 0) > 0 AS pred
+        FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    """
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic exact-k-per-group sample (k=25 per source domain,
+    LCG-keyed): the curation op a rate-based sampler can't express.
+    Oracle: the identical keyed window in DuckDB."""
+    from anofox_forecast_spark.webtext.pipeline import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "doc_id", "source", k=25)
+
+
+def sql_stratified_sample():
+    return """
+        WITH k AS (
+            SELECT doc_id, source,
+                   ((doc_id % 2147483648) * 1103515245 + 12345)
+                       % 2147483648 AS key
+            FROM documents
+        ), r AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY key, doc_id) - 1 AS BIGINT)
+                       AS rk
+            FROM k
+        )
+        SELECT doc_id, source, rk FROM r WHERE rk < 25
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -1436,6 +1517,9 @@ def build_queries():
         "text_bpe_tokens": q_text_bpe_tokens,
         "html_extract": q_html_extract,
         "warc_ingest": q_warc_ingest,
+        "quality_classifier": q_quality_classifier,
+        "quality_score_formula": q_quality_score_formula,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1469,6 +1553,10 @@ def build_oracle_sql():
         "text_normalize": sql_text_normalize(),
         "url_canonicalize": sql_url_canonicalize(),
         "warc_ingest": sql_warc_ingest(),
+        "quality_score_formula": sql_quality_score_formula(),
+        "stratified_sample": sql_stratified_sample(),
+        # quality_classifier intentionally omitted → rows-only (the
+        # gradient-descent epoch recursion has no SQL twin)
         # dedup_semantic intentionally omitted → rows-only (k-means
         # quantizer has no DuckDB twin)
         # hash-based ops (minhash/simhash/lsh/ivf) intentionally omitted →

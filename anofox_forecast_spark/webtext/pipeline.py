@@ -315,6 +315,45 @@ def corpus_shuffle(
     )
 
 
+def stratified_sample(
+    df: DataFrame, id_col: str, group_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic EXACT-k-per-group sample: the curation counterpart
+    to :func:`mixture_sample`'s rate-based keep (a rate cannot promise
+    "exactly 1000 eval docs per domain"; this does — uniformly at
+    random within each group, fixed by (id, seed) alone).
+
+    Rank = position of the portable-LCG key within the group (ties on
+    id); keep rank < k. Groups smaller than k keep everything. Same
+    LCG-key determinism contract as :func:`corpus_shuffle` — resumable,
+    layout-independent, and DuckDB replays the identical choice.
+
+    Scale shape: one Exchange on the group column + per-group sort for
+    the rank window. Skew note: a hot group's members all land on one
+    reducer — for exact-k-per-group that is inherent (global rank
+    within the group); when k is small relative to hot groups, bound
+    the window's input first with a cheap pre-filter on the key (e.g.
+    keep key < (k / est_group_size) * 4 quantile) before ranking — at
+    sample rates this repo benches, the single window is the right
+    plan.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = ((F.col(id_col) + F.lit(int(seed))) % _LCG_MOD) * _LCG_MUL + _LCG_ADD
+    key = h % _LCG_MOD
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        key.alias("__key"),
+    )
+    w = Window.partitionBy("grp").orderBy("__key", "doc_id")
+    return (
+        keyed.withColumn("rk", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .filter(F.col("rk") < k)
+        .select("doc_id", F.col("grp").alias(group_col), "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 

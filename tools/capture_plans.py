@@ -444,6 +444,36 @@ def main() -> None:
         ["ArrowEvalPython", "SortAggregate", "Window"],
     ))
 
+    # 26. quality classifier scoring is explode → broadcast weight lookup →
+    # ONE Exchange (groupBy id; map-side combine collapses each doc's
+    # tokens pre-shuffle), pure JVM; stratified_sample is one Exchange +
+    # one Window (rank within group), pure JVM
+    from anofox_forecast_spark.webtext.classifier import score_logreg
+    from anofox_forecast_spark.webtext.pipeline import stratified_sample
+
+    model26 = {"weights": {3: 1000}, "bias_micro": 0, "hashed": True,
+               "n_buckets": 1 << 14}
+    plan26a = grab(score_logreg(docs, "doc_id", "text", model26))
+    assert len(_re25.findall(r"\(\d+\) Exchange", plan26a)) == 1, (
+        "classifier scoring must shuffle exactly once (groupBy id)")
+    # no Python EXECUTION nodes (the driver-built weight table's scan line
+    # mentions applySchemaToPythonRDD — that's a 1-row control-plane read,
+    # not per-row Python)
+    assert not _re25.search(
+        r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas",
+        plan26a)
+    assert "BroadcastExchange" in plan26a  # weight table never shuffles
+    docs26 = docs.withColumn("source", F.lit("s"))
+    plan26b = grab(stratified_sample(docs26, "doc_id", "source", k=5))
+    assert len(_re25.findall(r"\(\d+\) Exchange", plan26b)) == 1
+    assert "Window" in plan26b and "Python" not in plan26b
+    sections.append((
+        "quality classifier scoring (one Exchange, broadcast weights, no "
+        "Python) + stratified exact-k sample (one Exchange + Window)",
+        plan26a + "\n" + plan26b,
+        ["Exchange", "BroadcastExchange", "Window"],
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
