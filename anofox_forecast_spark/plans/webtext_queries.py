@@ -1478,6 +1478,34 @@ def sql_stratified_sample():
     """
 
 
+def q_corpus_export_manifest(spark, sf_dir):
+    """Shard-export integrity manifest (per-shard doc/byte counts over
+    the deterministic LCG shard assignment — the record verify_shards
+    re-checks after read-back). The engine-portable stats columns are
+    oracled; the xxhash64 content fingerprint is engine-specific and
+    excluded here (covered by the tamper-detection pytest)."""
+    from anofox_forecast_spark.webtext.export import shard_manifest
+
+    return shard_manifest(
+        _docs(spark, sf_dir), "doc_id", "text", n_shards=8, seed=3
+    ).select("shard", "n_docs", "n_bytes")
+
+
+def sql_corpus_export_manifest():
+    return """
+        WITH k AS (
+            SELECT doc_id, text,
+                   (((doc_id + 3) % 2147483648) * 1103515245 + 12345)
+                       % 2147483648 AS key
+            FROM documents
+        )
+        SELECT CAST(floor((key * 8) / 2147483648.0) AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        FROM k GROUP BY 1
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -1520,6 +1548,7 @@ def build_queries():
         "quality_classifier": q_quality_classifier,
         "quality_score_formula": q_quality_score_formula,
         "stratified_sample": q_stratified_sample,
+        "corpus_export_manifest": q_corpus_export_manifest,
     }
 
 
@@ -1555,6 +1584,7 @@ def build_oracle_sql():
         "warc_ingest": sql_warc_ingest(),
         "quality_score_formula": sql_quality_score_formula(),
         "stratified_sample": sql_stratified_sample(),
+        "corpus_export_manifest": sql_corpus_export_manifest(),
         # quality_classifier intentionally omitted → rows-only (the
         # gradient-descent epoch recursion has no SQL twin)
         # dedup_semantic intentionally omitted → rows-only (k-means

@@ -298,21 +298,28 @@ def corpus_shuffle(
     permutation; at production scale swap ``F.xxhash64(id, seed)`` for
     the key (the ordering contract is unchanged).
     """
+    return _shuffle_keyed(df, id_col, n_shards, seed).select(
+        F.col(id_col).alias("doc_id"), "shard", "pos"
+    )
+
+
+def _shuffle_keyed(
+    df: DataFrame, id_col: str, n_shards: int, seed: int
+) -> DataFrame:
+    """df.* + (shard, pos): the corpus_shuffle assignment carried on the
+    full row — lets a sink (export_shards) shard WITHOUT joining the
+    3-column assignment back to the corpus (two saved Exchanges)."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     h = ((F.col(id_col) + F.lit(int(seed))) % _LCG_MOD) * _LCG_MUL + _LCG_ADD
     key = h % _LCG_MOD
-    keyed = df.select(
-        F.col(id_col).alias("doc_id"),
-        key.alias("__key"),
-        F.floor((key * F.lit(int(n_shards))) / F.lit(_LCG_MOD)).alias("shard"),
+    keyed = df.withColumn("__key", key).withColumn(
+        "shard", F.floor((F.col("__key") * F.lit(int(n_shards))) / F.lit(_LCG_MOD))
     )
-    w = Window.partitionBy("shard").orderBy("__key", "doc_id")
-    return keyed.select(
-        "doc_id",
-        "shard",
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
-    )
+    w = Window.partitionBy("shard").orderBy("__key", F.col(id_col))
+    return keyed.withColumn(
+        "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("__key")
 
 
 def stratified_sample(

@@ -467,10 +467,21 @@ def main() -> None:
     plan26b = grab(stratified_sample(docs26, "doc_id", "source", k=5))
     assert len(_re25.findall(r"\(\d+\) Exchange", plan26b)) == 1
     assert "Window" in plan26b and "Python" not in plan26b
+    # export manifest: inline shard assignment (no corpus self-join) and
+    # the groupBy(shard) agg REUSES the rank window's shard partitioning —
+    # exactly one Exchange end to end
+    from anofox_forecast_spark.webtext.export import shard_manifest
+
+    plan26c = grab(shard_manifest(docs, "doc_id", "text", n_shards=8))
+    assert len(_re25.findall(r"\(\d+\) Exchange", plan26c)) == 1, (
+        "shard_manifest must shuffle exactly once (window + agg share the "
+        "shard partitioning)")
+    assert "Join" not in plan26c and "Python" not in plan26c
     sections.append((
         "quality classifier scoring (one Exchange, broadcast weights, no "
-        "Python) + stratified exact-k sample (one Exchange + Window)",
-        plan26a + "\n" + plan26b,
+        "Python) + stratified exact-k sample (one Exchange + Window) + "
+        "export shard manifest (one Exchange, join-free inline assignment)",
+        plan26a + "\n" + plan26b + "\n" + plan26c,
         ["Exchange", "BroadcastExchange", "Window"],
     ))
 
