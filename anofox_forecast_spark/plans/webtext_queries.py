@@ -1506,6 +1506,38 @@ def sql_corpus_export_manifest():
     """
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-smoothed domain mixing weights (τ=0.5, token-
+    proportional) + expected epochs at a 1M-token budget: one corpus
+    hash agg + a 1-row broadcast total. Full DuckDB twin (weights
+    rounded to 6 dp — the float-pow cross-engine contract)."""
+    from anofox_forecast_spark.webtext.pipeline import mixture_weights
+
+    return mixture_weights(
+        _docs(spark, sf_dir), "doc_id", "source", text_col="text",
+        tau=0.5, token_budget=1_000_000,
+    )
+
+
+def sql_mixture_weights():
+    return r"""
+        WITH per AS (
+            SELECT source AS domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS n_units
+            FROM documents GROUP BY source
+        ), p AS (
+            SELECT *, pow(CAST(n_units AS DOUBLE), 0.5) AS pp FROM per
+        )
+        SELECT domain, n_docs, n_units,
+               round(pp / (SELECT sum(pp) FROM p), 6) AS weight,
+               round(1000000.0 * round(pp / (SELECT sum(pp) FROM p), 6)
+                     / CAST(n_units AS DOUBLE), 6) AS epochs
+        FROM p
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -1549,6 +1581,7 @@ def build_queries():
         "quality_score_formula": q_quality_score_formula,
         "stratified_sample": q_stratified_sample,
         "corpus_export_manifest": q_corpus_export_manifest,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -1585,6 +1618,7 @@ def build_oracle_sql():
         "quality_score_formula": sql_quality_score_formula(),
         "stratified_sample": sql_stratified_sample(),
         "corpus_export_manifest": sql_corpus_export_manifest(),
+        "mixture_weights": sql_mixture_weights(),
         # quality_classifier intentionally omitted → rows-only (the
         # gradient-descent epoch recursion has no SQL twin)
         # dedup_semantic intentionally omitted → rows-only (k-means

@@ -276,6 +276,67 @@ def mixture_sample(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str | None = None,
+    tau: float = 0.5,
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Temperature-smoothed per-domain sampling weights — the
+    calculation that PRODUCES the rates :func:`mixture_sample` applies
+    (public recipe: T5's examples-proportional mixing, Raffel 2020
+    §3.5.2; XLM-R's ``p_d ∝ n_d^τ``, Conneau 2019): small domains get
+    upweighted as τ → 0, τ = 1 is proportional sampling.
+
+    Output per domain: (domain, n_docs, n_units, weight[, epochs]) —
+    ``n_units`` is docs, or whitespace-token mass when ``text_col`` is
+    given (token-proportional mixing); ``weight = n^τ / Σ n^τ`` rounded
+    to 6 dp (pow is float; rounding is the cross-engine contract, same
+    as tfidf). With ``token_budget``, ``epochs = budget·weight / n``
+    — >1 means the mixture repeats that domain (the over-sampling
+    early-warning a curator reads first).
+
+    Scale shape: ONE hash aggregate over the corpus (domain count ≪
+    corpus), then the Σ n^τ branch joins back as a 1-row broadcast
+    (the zero-column count-branch trick) — no window over the corpus,
+    no driver collect.
+    """
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    unit = (
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        if text_col
+        else F.lit(1)
+    )
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(unit).cast("long").alias("n_units"),
+    )
+    powed = per.withColumn(
+        "__p", F.pow(F.col("n_units").cast("double"), F.lit(float(tau)))
+    )
+    total = powed.agg(F.sum("__p").alias("__tot"))
+    out = powed.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "n_units",
+        F.round(F.col("__p") / F.col("__tot"), 6).alias("weight"),
+    )
+    if token_budget is not None:
+        out = out.withColumn(
+            "epochs",
+            F.round(
+                F.lit(float(token_budget))
+                * F.col("weight")
+                / F.col("n_units").cast("double"),
+                6,
+            ),
+        )
+    return out
+
+
 def corpus_shuffle(
     df: DataFrame, id_col: str, n_shards: int = 64, seed: int = 0
 ) -> DataFrame:

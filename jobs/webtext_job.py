@@ -13,7 +13,9 @@ Stages (each timed; one JSON line on stdout; --stages selects a subset):
   IVF ANN top-k -> benchmark decontamination (0.1% eval set) -> TF-IDF
   top-k terms -> sequence packing (64 shards) -> unicode normalization
   (NFC + control strip + whitespace collapse, the pandas-UDF cleaning
-  pass) -> prepare_corpus (the full composed pipeline: verdict joins +
+  pass) -> quality-classifier fit (2 GD epochs, half corpus) + score
+  (full corpus) -> stratified exact-k sample -> shard-export manifest
+  -> prepare_corpus (the full composed pipeline: verdict joins +
   single filter + stats).
 
 The vector corpus carries near-duplicate structure (near_rate=0.08,
@@ -201,6 +203,51 @@ def main() -> None:
 
         return checksum_count(normalize_text(docs, "doc_id", "text"))
 
+    def stage_clf_fit():
+        # quality-classifier training: 2 full-batch GD epochs on the
+        # half corpus (each epoch = one margin job + one gradient job
+        # over every token; deterministic label proxy). The per-epoch
+        # driver barrier + bounded gradient collect is the new scale
+        # path this stage measures.
+        from anofox_forecast_spark.webtext.classifier import fit_logreg
+
+        labeled = half.withColumn(
+            "label", (F.col("doc_id") % 3 == 0).cast("int"))
+        model = fit_logreg(labeled, "doc_id", "text", "label",
+                           n_buckets=1 << 16, epochs=2, lr=1.0)
+        state["clf_model"] = model
+        return len(model["weights"])
+
+    def stage_clf_score():
+        # scoring the FULL corpus with the stage_clf_fit model (or a
+        # fixed synthetic one when fit was skipped): explode → broadcast
+        # weight lookup → one groupBy(id) Exchange
+        from anofox_forecast_spark.webtext.classifier import score_logreg
+
+        model = state.get("clf_model") or {
+            "weights": {b: (b % 2001) - 1000 for b in range(0, 1 << 16, 7)},
+            "bias_micro": 0, "hashed": True, "n_buckets": 1 << 16,
+        }
+        return checksum_count(score_logreg(docs, "doc_id", "text", model))
+
+    def stage_strat_sample():
+        # exact-k eval carve-out per synthetic domain (16 domains): the
+        # per-group rank window over the full corpus
+        from anofox_forecast_spark.webtext.pipeline import stratified_sample
+
+        domained = docs.withColumn(
+            "source", F.concat(F.lit("d"), (F.col("doc_id") % 16)))
+        return checksum_count(stratified_sample(
+            domained, "doc_id", "source", k=10_000))
+
+    def stage_export_manifest():
+        # shard-export integrity manifest over the full corpus: inline
+        # LCG assignment + rank window + shard agg (single Exchange)
+        from anofox_forecast_spark.webtext.export import shard_manifest
+
+        return checksum_count(shard_manifest(
+            docs, "doc_id", "text", n_shards=64, seed=3))
+
     def stage_corpus_prep():
         domained = half.withColumn(
             "source", F.concat(F.lit("src"), (F.col("doc_id") % 4))
@@ -250,6 +297,15 @@ def main() -> None:
             counts["packed_docs"] = timed("pack", stage_pack)
         if want("normalize"):
             counts["normalize_docs"] = timed("normalize", stage_normalize)
+        if want("clf_fit"):
+            counts["clf_weights"] = timed("clf_fit", stage_clf_fit)
+        if want("clf_score"):
+            counts["clf_scored"] = timed("clf_score", stage_clf_score)
+        if want("strat_sample"):
+            counts["strat_rows"] = timed("strat_sample", stage_strat_sample)
+        if want("export_manifest"):
+            counts["manifest_shards"] = timed("export_manifest",
+                                              stage_export_manifest)
         if want("corpus_prep"):
             counts["corpus_kept"] = timed("corpus_prep", stage_corpus_prep)
         if it < n_rep - 1:

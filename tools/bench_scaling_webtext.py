@@ -34,7 +34,8 @@ STAGES = ["minhash_lsh", "components", "simhash_k3", "line_dedup",
           "normalize", "corpus_prep"]
 
 
-def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dict:
+def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int,
+              stages: list[str] | None = None) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
@@ -53,6 +54,8 @@ def run_level(cores: int, docs: int, vecs: int, zpath: str, shuffle: int) -> dic
         "--shuffle-partitions", str(shuffle),
         "--repeat", "1",
     ]
+    if stages:
+        cmd += ["--stages", ",".join(stages)]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
