@@ -1102,7 +1102,10 @@ def q_text_c4_filters(spark, sf_dir):
         .otherwise(line),
     )
     pages = docs.select("doc_id", F.array_join(deco, "\n").alias("text"))
-    return c4_page_filters(pages, "doc_id", "text")
+    # two corpus-vocabulary words play the banned list so the published
+    # bad-words page rule runs non-vacuously (some pages hit, some don't)
+    return c4_page_filters(pages, "doc_id", "text",
+                           banned_words=["slow", "dup"])
 
 
 def sql_text_c4_filters():
@@ -1150,15 +1153,22 @@ def sql_text_c4_filters():
                    CAST(len(kept) AS INTEGER) AS n_kept,
                    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
                    contains(text, '{') AS has_brace,
-                   contains(lower(text), 'lorem ipsum') AS has_lorem
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   len(list_intersect(
+                       list_filter(string_split_regex(
+                           trim(regexp_replace(lower(text),
+                                               '[^\p{L}\p{N} ]', ' ', 'g')),
+                           ' +'), x -> x <> ''),
+                       ['slow', 'dup'])) > 0 AS has_banned
             FROM k
         )
         SELECT id, n_lines, n_kept,
                CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g'))
                     AS INTEGER) AS n_sentences,
-               has_brace, has_lorem,
+               has_brace, has_lorem, has_banned,
                (length(regexp_replace(clean_text, '[^.!?]', '', 'g')) >= 3
-                AND NOT has_brace AND NOT has_lorem) AS keep_page,
+                AND NOT has_brace AND NOT has_lorem AND NOT has_banned)
+                   AS keep_page,
                clean_text
         FROM f
     """

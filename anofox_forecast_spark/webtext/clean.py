@@ -44,6 +44,7 @@ def c4_page_filters(
     text_col: str,
     min_words_per_line: int = 5,
     min_sentences: int = 3,
+    banned_words: list[str] | None = None,
 ) -> DataFrame:
     """C4 cleaning heuristics (Raffel et al. 2020 §2.2) as one shuffle-free
     pass: per-line keep rules + page-level verdict.
@@ -57,12 +58,17 @@ def c4_page_filters(
       * at least ``min_sentences`` sentence terminators in the retained
         text,
       * no ``{`` anywhere on the page (code placeholder),
-      * no "lorem ipsum" (case-insensitive).
+      * no "lorem ipsum" (case-insensitive),
+      * none of ``banned_words`` appears as a (lowercased, punctuation-
+        stripped) word token — C4's published bad-words page rule; the
+        caller supplies the list (the published one is an external
+        resource). ``None`` disables the rule; ``has_banned`` is still
+        emitted (False) so the schema is stable.
 
     Returns (id, n_lines, n_kept, n_sentences, has_brace, has_lorem,
-    keep_page, clean_text) where clean_text is the surviving lines
-    re-joined with newlines. Pure SQL expressions, no Exchange: the full
-    verdict (not a survivors-only table) so a caller can audit drop
+    has_banned, keep_page, clean_text) where clean_text is the surviving
+    lines re-joined with newlines. Pure SQL expressions, no Exchange: the
+    full verdict (not a survivors-only table) so a caller can audit drop
     reasons — same contract as ``decontaminate``.
     """
     t = F.col(text_col)
@@ -83,6 +89,19 @@ def c4_page_filters(
     n_sent = F.length(F.regexp_replace(clean, _SENTENCE_CHARS_RE, ""))
     has_brace = t.contains("{")
     has_lorem = F.lower(t).contains("lorem ipsum")
+    if banned_words:
+        toks = F.array_remove(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(t), r"[^\p{L}\p{N} ]", " ")),
+                r" +",
+            ),
+            "",
+        )
+        has_banned = F.arrays_overlap(
+            toks, F.lit([w.lower() for w in banned_words])
+        )
+    else:
+        has_banned = F.lit(False)
     return df.select(
         F.col(id_col).alias("id"),
         F.size(lines).cast("int").alias("n_lines"),
@@ -90,8 +109,10 @@ def c4_page_filters(
         n_sent.cast("int").alias("n_sentences"),
         has_brace.alias("has_brace"),
         has_lorem.alias("has_lorem"),
+        has_banned.alias("has_banned"),
         (
-            (n_sent >= F.lit(int(min_sentences))) & ~has_brace & ~has_lorem
+            (n_sent >= F.lit(int(min_sentences)))
+            & ~has_brace & ~has_lorem & ~has_banned
         ).alias("keep_page"),
         clean.alias("clean_text"),
     )

@@ -73,6 +73,33 @@ def test_c4_page_rules(spark):
     assert out[4]["keep_page"] is False and out[4]["has_lorem"] is True
 
 
+def test_c4_banned_words_page_rule(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "First good sentence that is long enough.\n"
+                "Second good sentence that is long enough.\n"
+                "Third good sentence that is long enough."),
+            # banned word (case-insensitive, token match) -> dropped
+            (2, "First good sentence mentioning BadWord here today.\n"
+                "Second good sentence that is long enough.\n"
+                "Third good sentence that is long enough."),
+            # substring inside a longer token is NOT a word hit
+            (3, "First sentence mentioning badwordish things here today.\n"
+                "Second good sentence that is long enough.\n"
+                "Third good sentence that is long enough."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(c4_page_filters(docs, "doc_id", "text",
+                                banned_words=["badword"]))
+    assert out[1]["has_banned"] is False and out[1]["keep_page"] is True
+    assert out[2]["has_banned"] is True and out[2]["keep_page"] is False
+    assert out[3]["has_banned"] is False and out[3]["keep_page"] is True
+    # disabled rule keeps a stable schema
+    off = _rows(c4_page_filters(docs, "doc_id", "text"))
+    assert off[2]["has_banned"] is False and off[2]["keep_page"] is True
+
+
 def test_c4_sentence_count_counts_terminators_in_kept_text(spark):
     docs = spark.createDataFrame(
         [(1, "One. Two. Three. All inside a single kept line.")],
