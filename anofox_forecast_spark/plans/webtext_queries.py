@@ -1548,6 +1548,71 @@ def sql_mixture_weights():
     """
 
 
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL pre-filter (domain blocklist incl.
+    subdomains, asset-extension block, URL bad-words). URLs are
+    synthesized deterministically from (doc_id, source) so every rule
+    fires on a real subset: src3 is blocklisted exactly and every 6th
+    doc sits on a subdomain of src1; every 5th path ends .jpg, every
+    7th .pdf; every 11th URL contains 'casino'."""
+    from anofox_forecast_spark.webtext.clean import url_filter
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 6 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example/p"),
+        (d % 13).cast("string"),
+        F.when(d % 11 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("/img.jpg"))
+        .when(d % 7 == 0, F.lit("/doc.pdf"))
+        .otherwise(F.lit("/page")),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_filter(
+        pages, "doc_id", "url",
+        blocked_hosts=["src3.example", "src1.example"],
+        url_badwords=["casino"],
+    )
+
+
+def sql_url_filter():
+    return r"""
+        WITH u AS (
+            SELECT doc_id,
+                   lower('https://'
+                       || CASE WHEN doc_id % 6 = 0 THEN 'cdn.' ELSE '' END
+                       || source || '.example/p' || CAST(doc_id % 13 AS VARCHAR)
+                       || CASE WHEN doc_id % 11 = 0 THEN '/casino' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '/img.jpg'
+                               WHEN doc_id % 7 = 0 THEN '/doc.pdf'
+                               ELSE '/page' END) AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, url,
+                   regexp_replace(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                                  ':\d+$', '') AS host,
+                   regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path
+            FROM u
+        )
+        SELECT doc_id AS id, host,
+               (host = 'src3.example' OR suffix(host, '.src3.example')
+                OR host = 'src1.example' OR suffix(host, '.src1.example'))
+                   AS host_blocked,
+               regexp_matches(path,
+                   '\.(jpg|jpeg|png|gif|css|js|xml|rss|pdf|zip|gz|exe)$')
+                   AS ext_blocked,
+               contains(url, 'casino') AS badword_hit,
+               NOT (host = 'src3.example' OR suffix(host, '.src3.example')
+                    OR host = 'src1.example' OR suffix(host, '.src1.example'))
+               AND NOT regexp_matches(path,
+                   '\.(jpg|jpeg|png|gif|css|js|xml|rss|pdf|zip|gz|exe)$')
+               AND NOT contains(url, 'casino') AS keep
+        FROM parts
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -1592,6 +1657,7 @@ def build_queries():
         "stratified_sample": q_stratified_sample,
         "corpus_export_manifest": q_corpus_export_manifest,
         "mixture_weights": q_mixture_weights,
+        "url_filter": q_url_filter,
     }
 
 
@@ -1629,6 +1695,7 @@ def build_oracle_sql():
         "stratified_sample": sql_stratified_sample(),
         "corpus_export_manifest": sql_corpus_export_manifest(),
         "mixture_weights": sql_mixture_weights(),
+        "url_filter": sql_url_filter(),
         # quality_classifier intentionally omitted → rows-only (the
         # gradient-descent epoch recursion has no SQL twin)
         # dedup_semantic intentionally omitted → rows-only (k-means

@@ -233,3 +233,63 @@ def canonicalize_urls(
         q_canon.alias("query_canon"),
         (F.size(params) - F.size(kept)).cast("int").alias("n_params_dropped"),
     )
+
+
+def url_filter(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    blocked_hosts: list[str] | None = None,
+    blocked_extensions: list[str] | None = None,
+    url_badwords: list[str] | None = None,
+) -> DataFrame:
+    """RefinedWeb-style URL pre-filtering (Penedo et al. 2023 §3.1: a
+    domain blocklist, excluded file extensions, and bad words in the URL
+    itself — the cheapest filter in the pipeline, so it runs FIRST,
+    before any content is fetched or parsed).
+
+    Verdict per page (full audit columns, same contract as
+    ``c4_page_filters``):
+      * ``host`` — lowercased authority (port stripped),
+      * ``host_blocked`` — host equals a blocklist entry or is a
+        subdomain of one (suffix match on ``.entry``),
+      * ``ext_blocked`` — the path ends in a blocked extension
+        (default: common non-text assets),
+      * ``badword_hit`` — any ``url_badwords`` entry appears in the
+        lowercased URL (substring, the published rule),
+      * ``keep`` — none of the above.
+
+    Pure JVM expressions (the host regex is the Java∩RE2 portable
+    subset shared with ``canonicalize_urls``), shuffle-free,
+    whole-stage codegen; the blocklists ride as literals (bounded
+    config, not data). DuckDB twin in the driver oracle.
+    """
+    if blocked_extensions is None:
+        blocked_extensions = ["jpg", "jpeg", "png", "gif", "css", "js",
+                              "xml", "rss", "pdf", "zip", "gz", "exe"]
+    u = F.lower(F.col(url_col))
+    hostport = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+
+    host_blocked = F.lit(False)
+    for h in blocked_hosts or []:
+        h = h.lower()
+        host_blocked = host_blocked | (host == h) | host.endswith("." + h)
+    ext_blocked = F.lit(False)
+    if blocked_extensions:
+        ext_blocked = path.rlike(
+            r"\.(" + "|".join(e.lower() for e in blocked_extensions) + r")$"
+        )
+    badword_hit = F.lit(False)
+    for w in url_badwords or []:
+        badword_hit = badword_hit | u.contains(w.lower())
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        host.alias("host"),
+        host_blocked.alias("host_blocked"),
+        ext_blocked.alias("ext_blocked"),
+        badword_hit.alias("badword_hit"),
+        (~host_blocked & ~ext_blocked & ~badword_hit).alias("keep"),
+    )

@@ -213,3 +213,40 @@ def test_url_canonicalize_shuffle_free_plan(spark):
     docs = spark.createDataFrame([(1, "https://e.com/")], ["doc_id", "url"])
     plan = canonicalize_urls(docs, "doc_id", "url")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_url_filter_rules(spark):
+    from anofox_forecast_spark.webtext.clean import url_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://good.example/page"),
+            (2, "https://Spam.example:8080/page"),        # exact host (case/port)
+            (3, "https://cdn.spam.example/page"),         # subdomain of blocked
+            (4, "https://notspam.example/page"),          # prefix, NOT a subdomain
+            (5, "https://good.example/img.JPG"),          # blocked extension
+            (6, "https://good.example/casino/page"),      # badword in url
+            (7, "https://good.example/jpg"),              # 'jpg' not an extension
+        ],
+        ["doc_id", "url"],
+    )
+    out = {r["id"]: r for r in url_filter(
+        docs, "doc_id", "url",
+        blocked_hosts=["spam.example"], url_badwords=["casino"],
+    ).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["host_blocked"] is True and out[2]["host"] == "spam.example"
+    assert out[3]["host_blocked"] is True
+    assert out[4]["host_blocked"] is False and out[4]["keep"] is True
+    assert out[5]["ext_blocked"] is True and out[5]["keep"] is False
+    assert out[6]["badword_hit"] is True and out[6]["keep"] is False
+    assert out[7]["ext_blocked"] is False and out[7]["keep"] is True
+
+
+def test_url_filter_shuffle_free(spark):
+    from anofox_forecast_spark.webtext.clean import url_filter
+
+    docs = spark.createDataFrame([(1, "https://a.b/c")], ["doc_id", "url"])
+    plan = url_filter(docs, "doc_id", "url")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
