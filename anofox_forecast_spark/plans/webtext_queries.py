@@ -1613,6 +1613,74 @@ def sql_url_filter():
     """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (12-token budget, 3-token
+    overlap): sequence/slice chunk construction inside the row, one
+    explode, no shuffle. Full DuckDB twin via range + list_slice."""
+    from anofox_forecast_spark.webtext.pipeline import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", max_tokens=12, overlap=3
+    )
+
+
+def sql_chunk_documents():
+    # stride = 12 - 3 = 9; n_chunks = max(ceil((n-3)/9), 1); DuckDB
+    # list_slice is 1-based inclusive-end (Spark slice takes a LENGTH)
+    return r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^\p{L}\p{N} ]', ' ', 'g')),
+                       ' +'), x -> x <> '') AS w
+            FROM documents
+        ), c AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                   list_slice(w, i * 9 + 1, i * 9 + 12) AS t
+            FROM toks,
+                 UNNEST(range(0, greatest(
+                     CAST(ceil((len(w) - 3) / 9.0) AS BIGINT), 1))) AS u(i)
+        )
+        SELECT doc_id AS id, chunk_id,
+               CAST(len(t) AS INTEGER) AS n_tokens_chunk,
+               coalesce(array_to_string(t, ' '), '') AS chunk_text
+        FROM c
+    """
+
+
+def q_split_corpus(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test assignment from
+    contiguous LCG-key ranges — disjoint by construction, resumable.
+    Full DuckDB twin."""
+    from anofox_forecast_spark.webtext.pipeline import split_corpus
+
+    out = split_corpus(
+        _docs(spark, sf_dir), "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=5,
+    )
+    return out.select("doc_id", "split")
+
+
+def sql_split_corpus():
+    m = 2_147_483_648
+    t1 = int(0.8 * m)
+    t2 = int(0.9 * m)
+    t3 = int(1.0 * m)
+    return f"""
+        WITH k AS (
+            SELECT doc_id,
+                   (((doc_id + 5) % {m}) * 1103515245 + 12345) % {m} AS key
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN key < {t1} THEN 'train'
+                    WHEN key < {t2} THEN 'valid'
+                    WHEN key < {t3} THEN 'test'
+               END AS split
+        FROM k
+    """
+
+
 def build_queries():
     return {
         "dedup_exact": q_dedup_exact,
@@ -1658,6 +1726,8 @@ def build_queries():
         "corpus_export_manifest": q_corpus_export_manifest,
         "mixture_weights": q_mixture_weights,
         "url_filter": q_url_filter,
+        "chunk_documents": q_chunk_documents,
+        "split_corpus": q_split_corpus,
     }
 
 
@@ -1696,6 +1766,8 @@ def build_oracle_sql():
         "corpus_export_manifest": sql_corpus_export_manifest(),
         "mixture_weights": sql_mixture_weights(),
         "url_filter": sql_url_filter(),
+        "chunk_documents": sql_chunk_documents(),
+        "split_corpus": sql_split_corpus(),
         # quality_classifier intentionally omitted → rows-only (the
         # gradient-descent epoch recursion has no SQL twin)
         # dedup_semantic intentionally omitted → rows-only (k-means

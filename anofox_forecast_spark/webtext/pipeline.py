@@ -477,6 +477,99 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into fixed-budget, optionally-overlapping
+    token chunks — the context-window preparation step between cleaning
+    and packing (a 200k-token page cannot enter a 4k-token sequence
+    packer whole; overlap preserves cross-boundary context, the
+    standard sliding-window recipe).
+
+    Output: (id, chunk_id, n_tokens_chunk, chunk_text) — chunk i covers
+    tokens [i·stride, i·stride + max_tokens) with stride = max_tokens −
+    overlap; the last chunk may be short; empty docs yield one empty
+    chunk (rows are never silently dropped). Tokens are the shared
+    punctuation-stripping ``_tokens`` stream.
+
+    Scale shape: tokenize → ``sequence``/``transform`` build every
+    chunk INSIDE the row (JVM array ops, whole-stage codegen) → one
+    explode. No shuffle, no Python; a doc's chunks stay in its input
+    partition. DuckDB twin via range + list_slice.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}")
+    stride = max_tokens - overlap
+    toks = F.array_remove(_tokens(F.col(text_col)), "")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride), floor 1: the count that covers every
+    # token exactly once per window position
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * F.lit(stride) + F.lit(1), max_tokens).alias("t"),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("__c")
+    )
+    return ex.select(
+        "id",
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.size("__c.t").cast("int").alias("n_tokens_chunk"),
+        F.array_join("__c.t", " ").alias("chunk_text"),
+    )
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: each id lands in
+    exactly one split, fixed by (id, seed) alone — resumable, layout-
+    independent, and disjoint BY CONSTRUCTION (contiguous LCG-key
+    ranges), unlike three independent ``df.sample`` calls which overlap
+    and drift with partitioning.
+
+    ``fractions`` maps split name → fraction; must sum to ≤ 1 (ids past
+    the last range get NULL — callers usually pass fractions summing to
+    1). Assignment: u = key/2^31 ∈ [0,1); the splits own consecutive
+    half-open intervals in insertion order. Shuffle-free JVM predicate
+    (same LCG as ``mixture_sample``); full DuckDB twin.
+    """
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(
+            f"fractions sum to {sum(fractions.values())}, must be <= 1")
+    h = ((F.col(id_col) + F.lit(int(seed))) % _LCG_MOD) * _LCG_MUL + _LCG_ADD
+    key = h % _LCG_MOD
+    split = F.lit(None).cast("string")
+    hi = 0.0
+    for name, frac in fractions.items():
+        lo, hi = hi, hi + float(frac)
+        # integer thresholds keep the comparison exact in both engines
+        split = F.when(
+            (key >= F.lit(int(lo * _LCG_MOD))) & (key < F.lit(int(hi * _LCG_MOD))),
+            F.lit(name),
+        ).otherwise(split)
+    return df.withColumn("split", split)
+
+
 def prepare_corpus(
     docs: DataFrame,
     id_col: str,
