@@ -485,6 +485,37 @@ def main() -> None:
         ["Exchange", "BroadcastExchange", "Window"],
     ))
 
+    # 27. cheap pre-filters and shaping ops are shuffle-free / explode-only:
+    # url_filter and split_corpus pure JVM predicates (no Exchange, no
+    # Python); chunk_documents builds chunks in-row and explodes (Generate,
+    # no Exchange)
+    from anofox_forecast_spark.webtext.clean import url_filter
+    from anofox_forecast_spark.webtext.pipeline import (
+        chunk_documents,
+        split_corpus,
+    )
+
+    urls27 = docs.select(
+        "doc_id", F.concat(F.lit("https://h"), (F.col("doc_id") % 5),
+                           F.lit(".example/p")).alias("url"))
+    plan27a = grab(url_filter(urls27, "doc_id", "url",
+                              blocked_hosts=["h0.example"],
+                              url_badwords=["casino"]))
+    plan27b = grab(split_corpus(docs, "doc_id", {"train": 0.9, "valid": 0.1}))
+    plan27c = grab(chunk_documents(docs, "doc_id", "text", max_tokens=16,
+                                   overlap=4))
+    for p in (plan27a, plan27b, plan27c):
+        assert "Exchange" not in p and not _re25.search(
+            r"ArrowEvalPython|BatchEvalPython|MapInPandas", p)
+    assert len(_re25.findall(r"\(\d+\) Generate", plan27c)) == 1
+    sections.append((
+        "pre-filter/shaping ops (url_filter + split_corpus: shuffle-free "
+        "JVM predicates; chunk_documents: in-row chunk build + one "
+        "Generate, no Exchange)",
+        plan27a + "\n" + plan27b + "\n" + plan27c,
+        ["Generate", "Project"],
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain('formatted')`)",
         "",
