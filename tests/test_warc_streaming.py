@@ -67,3 +67,44 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     assert xg == xb
     # http envelope unwrapped in-stream
     assert got.filter(F.col("http_status") == 200).count() == 12
+
+
+def test_streaming_quality_classifier_scoring(spark, tmp_path):
+    """score_logreg is a stateless plan (explode -> broadcast weight
+    lookup -> groupBy), so the SAME operator scores a document stream
+    per micro-batch; stream == batch on identical input."""
+    from anofox_forecast_spark.webtext.classifier import score_logreg
+
+    src = str(tmp_path / "docs_stream")
+    rows = [(i, ("good text here " if i % 2 else "spam junk ") * 3)
+            for i in range(40)]
+    ddl = "doc_id long, text string"
+    spark.createDataFrame(rows[:20], ddl).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(rows[20:], ddl).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    model = {
+        "weights": {"good": 500_000, "spam": -500_000, "junk": -250_000},
+        "bias_micro": 10_000, "hashed": False,
+    }
+    stream = spark.readStream.schema(ddl).parquet(src)
+    scored = score_logreg(stream, "doc_id", "text", model)
+    assert scored.isStreaming
+
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("clf_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: r for r in spark.sql("select * from clf_stream").collect()}
+    want = {r["id"]: r for r in score_logreg(
+        spark.createDataFrame(rows, ddl), "doc_id", "text", model).collect()}
+    assert len(got) == 40
+    assert {i: g["margin_micro"] for i, g in got.items()} == {
+        i: w["margin_micro"] for i, w in want.items()}
+    assert all(got[i]["pred"] == want[i]["pred"] for i in got)
