@@ -1682,21 +1682,14 @@ def sql_split_corpus():
 
 
 def build_queries():
+    # Ordering is deliberate (VERDICT r5 "next round" #1): the driver's
+    # CORRECTNESS artifact caps at 50 rows taken from the head of
+    # queries(), and the 31 operators added after round 4 (redact_pii …
+    # split_corpus) had never received a driver row. They now come FIRST
+    # (and __spark_entry__ merges this registry ahead of the engine
+    # queries); previously-driver-verified entries rotate to the tail.
+    # Names, functions and oracle SQL are unchanged — dict order only.
     return {
-        "dedup_exact": q_dedup_exact,
-        "text_token_counts": q_text_token_counts,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_lang_id,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_components": q_dedup_components,
-        "dedup_canonical": q_dedup_canonical,
         "text_redact_pii": q_text_redact_pii,
         "text_term_stats": q_text_term_stats,
         "text_repetition": q_text_repetition,
@@ -1728,6 +1721,21 @@ def build_queries():
         "url_filter": q_url_filter,
         "chunk_documents": q_chunk_documents,
         "split_corpus": q_split_corpus,
+        # --- driver-verified in r4/r5, rotated behind the new rows ---
+        "dedup_exact": q_dedup_exact,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
     }
 
 

@@ -86,7 +86,10 @@ def c4_page_filters(
 
     kept = F.filter(lines, _keep)
     clean = F.array_join(kept, "\n")
-    n_sent = F.length(F.regexp_replace(clean, _SENTENCE_CHARS_RE, ""))
+    # terminator count as a translate length-delta (single-pass char map)
+    # instead of length(regexp_replace(clean, [^.!?], "")), which built a
+    # full stripped copy of the page per row (same fix as quality_scores)
+    n_sent = F.length(clean) - F.length(F.translate(clean, ".!?", ""))
     has_brace = t.contains("{")
     has_lorem = F.lower(t).contains("lorem ipsum")
     if banned_words:

