@@ -226,6 +226,31 @@ def _query_buckets_local(q_pdf, n_planes: int, n_tables: int, dim: int,
     return out
 
 
+def _topk_finish(scored: DataFrame, k: int) -> DataFrame:
+    """(q_id, c_id, cosine) candidate rows → per-query top-k with rank:
+    pair dedup (same pair scored in several buckets/batches) + rank
+    window. A single-aggregate formulation (collect_list + array_sort +
+    per-neighbor HOF dedup) was tried in r6 and REVERTED: the O(k²)
+    interpreted higher-order dedup per query measured ~25% slower than
+    these two small exchanges at 256 queries × 40k candidate rows, so
+    the two-exchange shape stands.
+    """
+    from pyspark.sql import Window
+
+    scored = scored.dropDuplicates(["q_id", "c_id"])
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
     """Map-side ANN probe: scan the standing corpus bucket index once,
     score each Arrow batch's rows against the (closure-shipped) query
@@ -256,6 +281,18 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
         b: np.unique(uq_idx[g.index.to_numpy()])
         for b, g in qb_pdf.reset_index(drop=True).groupby("bucket")
     }
+    # flattened probed-bucket table for the vectorized mask build below:
+    # bucket string -> dense code, plus a CSR-style (offsets, concat)
+    # layout of each probed bucket's query rows
+    b_index = {b: i for i, b in enumerate(bucket_to_qrows)}
+    if b_index:
+        qr_counts = np.fromiter(
+            (len(v) for v in bucket_to_qrows.values()), dtype=np.int64,
+            count=len(b_index))
+        qr_offsets = np.zeros(qr_counts.size, dtype=np.int64)
+        np.cumsum(qr_counts[:-1], out=qr_offsets[1:])
+        qr_concat = (np.concatenate(list(bucket_to_qrows.values()))
+                     if qr_counts.sum() else np.empty(0, dtype=np.int64))
     n_q = uq_ids.size
     kk = k
 
@@ -292,16 +329,29 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
             cn[cn == 0] = 1.0
             # validity mask: (query, candidate) allowed iff some index
             # entry of the candidate sits in a bucket the query probes,
-            # minus self-matches
-            codes, uniq = pd.factorize(flat, sort=False)
-            order = np.argsort(codes, kind="stable")
-            bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+            # minus self-matches. Fully vectorized (r6): the previous
+            # version looped np.ix_ over every DISTINCT bucket in the
+            # batch (~tens of thousands at 16 tables), which dominated
+            # the probe stage; here each index entry maps to its probed-
+            # bucket code via one pandas dict map, and the (query-row,
+            # candidate-col) pairs are expanded with repeat/cumsum —
+            # total pairs ≈ Σ |qrows(bucket)| over matching entries,
+            # which is small because probes spread thinly over buckets.
             M = np.zeros((n_q, uc_ids.size), dtype=bool)
-            for u, b in enumerate(uniq):
-                qrows = bucket_to_qrows.get(b)
-                if qrows is not None:
-                    cols = c_inv[order[bounds[u]:bounds[u + 1]]]
-                    M[np.ix_(qrows, cols)] = True
+            codes = flat.map(b_index).to_numpy(dtype=np.float64, na_value=np.nan)
+            hit = ~np.isnan(codes)
+            if hit.any():
+                bidx = codes[hit].astype(np.int64)
+                cols = c_inv[hit]
+                counts = qr_counts[bidx]
+                tot = int(counts.sum())
+                if tot:
+                    starts2 = np.zeros(counts.size, dtype=np.int64)
+                    np.cumsum(counts[:-1], out=starts2[1:])
+                    pos = (np.arange(tot, dtype=np.int64)
+                           - np.repeat(starts2, counts))
+                    rows = qr_concat[np.repeat(qr_offsets[bidx], counts) + pos]
+                    M[rows, np.repeat(cols, counts)] = True
             M &= uc_ids[None, :] != uq_ids[:, None]
             if not M.any():
                 continue
@@ -333,22 +383,9 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
         pruned = index_df.join(
             F.broadcast(probed), "bucket", "left_semi"
         ).select("c_id", "c_vec", "bucket")
-    scored = (
-        pruned.mapInPandas(score, "q_id long, c_id long, cosine double")
-        # same pair via different tables/batches: bit-identical cosine
-        .dropDuplicates(["q_id", "c_id"])
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            F.round("cosine", 6).alias("cosine"),
-            "rank",
-        )
-    )
+    scored = pruned.mapInPandas(score, "q_id long, c_id long, cosine double")
+    # pair dedup + per-query rank in one aggregate (see _topk_finish)
+    return _topk_finish(scored, k)
 
 
 def _inbucket_topk(both: DataFrame, k: int, n_partitions: int) -> DataFrame:
@@ -397,21 +434,10 @@ def _inbucket_topk(both: DataFrame, k: int, n_partitions: int) -> DataFrame:
                 })
 
     rep = both.repartition(n_partitions, "bucket").sortWithinPartitions("bucket")
-    scored = (
-        rep.mapInPandas(score, "q_id long, c_id long, cosine double")
-        .dropDuplicates(["q_id", "c_id"])  # same pair across buckets: identical score
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            F.round("cosine", 6).alias("cosine"),
-            "rank",
-        )
-    )
+    scored = rep.mapInPandas(score, "q_id long, c_id long, cosine double")
+    # pair dedup + per-query rank in one aggregate (see _topk_finish);
+    # same pair across buckets carries an identical score by construction
+    return _topk_finish(scored, k)
 
 
 def hyperplane_buckets(
