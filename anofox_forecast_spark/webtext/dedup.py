@@ -945,13 +945,16 @@ def connected_components(
         # semantic stage), and every one of the ~14 rounds pays 3-4
         # exchanges whose task count otherwise comes from the session-wide
         # shuffle setting — measured 8.1 s → 5.0 s for the identical loop
-        # at 33k edges just by sizing the loop's exchanges to the data
-        # (~1M edges per partition, counted off the persisted edge list,
-        # CAPPED at the session setting so big edge lists keep their full
-        # parallelism — behavior at cluster scale is unchanged). Restored
+        # at 33k edges just by sizing the loop's exchanges to the data.
+        # Target ~50k edges per partition (tens of ms of join work per
+        # task — a first cut at 1M/partition collapsed a 410k-edge graph
+        # onto ONE partition and measured SLOWER at 8 cores than the
+        # session default, 12.3 s vs 7.1 s: the loop serialized), CAPPED
+        # at the session setting so big edge lists keep their full
+        # parallelism — behavior at cluster scale is unchanged. Restored
         # in the finally: below.
         n_edges = edges.count()
-        n_parts = max(1, min(int(old_parts), n_edges // 1_000_000 + 1))
+        n_parts = max(1, min(int(old_parts), n_edges // 50_000 + 1))
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         # LAZY checkpoints: the convergence count is the only action per
         # iteration and it materializes the new label table as a side
@@ -1078,16 +1081,29 @@ def _cc_alternating(
         )
 
     prev = checksum(edges)
-    for _ in range(max_iters):
-        edges = star(star(edges, large=True), large=False)
-        cur = checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"connected_components(star): no convergence in {max_iters} rounds"
-        )
+    # same scale-adaptive loop partitioning as the label path (guide §2):
+    # star rounds run 6 exchanges each, and the edge list SHRINKS toward
+    # one edge per node — size the loop's exchanges to the measured edge
+    # count (the initial checksum already counted it; ~50k edges per
+    # partition), capped at the session setting so cluster-scale
+    # behavior is unchanged
+    spark = pairs.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_parts = max(1, min(int(old_parts), prev[0] // 50_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        for _ in range(max_iters):
+            edges = star(star(edges, large=True), large=False)
+            cur = checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components(star): no convergence in {max_iters} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # converged: each component is a star centered at its minimum —
     # a node's component is its smallest neighbor (or itself for centers)
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
