@@ -297,21 +297,32 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
     kk = k
 
     def score(batches):
-        for pdf in batches:
-            nrows = len(pdf)
+        # mapInArrow (r6): the pandas scorer spent ~0.3 s/probe turning
+        # Arrow list columns into Python lists (`Series.tolist`) before
+        # numpy could touch them — interleaved A/B at 100k index rows
+        # measured 1.1-1.2 s (pandas) vs 0.7-0.9 s (arrow). Here vectors
+        # decode zero-copy-ish (ListArray values buffer → reshape) and
+        # bucket strings are dictionary-encoded so only the ~thousands of
+        # DISTINCT strings per batch cross into Python for the probe map.
+        import pyarrow as pa
+
+        for batch in batches:
+            nrows = batch.num_rows
             if nrows == 0:
                 continue
-            if "buckets" in pdf.columns:
+            names = batch.schema.names
+            vec_col = batch.column(names.index("c_vec"))
+            C_all = (vec_col.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64).reshape(nrows, -1))
+            if "buckets" in names:
                 # grouped index: one row per vector, bucket ARRAY — ids
                 # are already unique; flatten (row, bucket) entries
-                uc_ids = pdf["c_id"].to_numpy()
-                C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
-                blists = pdf["buckets"].to_numpy()
-                ent_rows = np.repeat(
-                    np.arange(nrows),
-                    np.fromiter((len(x) for x in blists), dtype=np.int64,
-                                count=nrows))
-                flat = pd.Series(np.concatenate(blists)) if nrows else pd.Series([])
+                uc_ids = batch.column(names.index("c_id")).to_numpy()
+                C = C_all
+                bcol = batch.column(names.index("buckets"))
+                lens = np.asarray(bcol.value_lengths())
+                ent_rows = np.repeat(np.arange(nrows), lens)
+                flat = bcol.flatten()
                 c_inv = ent_rows
             else:
                 # exploded index: a candidate appears once per TABLE
@@ -319,12 +330,11 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
                 # distinct id, else duplicate columns crowd distinct
                 # candidates out of the per-batch top-k (measured:
                 # recall 1.0 → 0.925 at 12 planes)
-                ci = pdf["c_id"].to_numpy()
+                ci = batch.column(names.index("c_id")).to_numpy()
                 uc_ids, first_idx, c_inv = np.unique(
                     ci, return_index=True, return_inverse=True)
-                C = np.array(
-                    pdf["c_vec"].iloc[first_idx].tolist(), dtype=np.float64)
-                flat = pdf["bucket"]
+                C = C_all[first_idx]
+                flat = batch.column(names.index("bucket"))
             cn = np.linalg.norm(C, axis=1)
             cn[cn == 0] = 1.0
             # validity mask: (query, candidate) allowed iff some index
@@ -332,16 +342,21 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
             # minus self-matches. Fully vectorized (r6): the previous
             # version looped np.ix_ over every DISTINCT bucket in the
             # batch (~tens of thousands at 16 tables), which dominated
-            # the probe stage; here each index entry maps to its probed-
-            # bucket code via one pandas dict map, and the (query-row,
+            # the probe stage; here each entry maps to its probed-bucket
+            # code through the dictionary, and the (query-row,
             # candidate-col) pairs are expanded with repeat/cumsum —
             # total pairs ≈ Σ |qrows(bucket)| over matching entries,
             # which is small because probes spread thinly over buckets.
             M = np.zeros((n_q, uc_ids.size), dtype=bool)
-            codes = flat.map(b_index).to_numpy(dtype=np.float64, na_value=np.nan)
-            hit = ~np.isnan(codes)
+            enc = flat.dictionary_encode()
+            dict_codes = np.fromiter(
+                (b_index.get(s, -1) for s in enc.dictionary.to_pylist()),
+                dtype=np.int64, count=len(enc.dictionary))
+            codes = (dict_codes[enc.indices.to_numpy(zero_copy_only=False)]
+                     if len(enc.dictionary) else np.empty(0, dtype=np.int64))
+            hit = codes >= 0
             if hit.any():
-                bidx = codes[hit].astype(np.int64)
+                bidx = codes[hit]
                 cols = c_inv[hit]
                 counts = qr_counts[bidx]
                 tot = int(counts.sum())
@@ -365,10 +380,10 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
             keep = sc > -1.5
             if not keep.any():
                 continue
-            yield pd.DataFrame({
-                "q_id": uq_ids[rows[keep]],
-                "c_id": uc_ids[cols[keep]],
-                "cosine": sc[keep],
+            yield pa.RecordBatch.from_pydict({
+                "q_id": pa.array(uq_ids[rows[keep]], type=pa.int64()),
+                "c_id": pa.array(uc_ids[cols[keep]], type=pa.int64()),
+                "cosine": pa.array(sc[keep], type=pa.float64()),
             })
 
     spark = index_df.sparkSession
@@ -383,7 +398,7 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
         pruned = index_df.join(
             F.broadcast(probed), "bucket", "left_semi"
         ).select("c_id", "c_vec", "bucket")
-    scored = pruned.mapInPandas(score, "q_id long, c_id long, cosine double")
+    scored = pruned.mapInArrow(score, "q_id long, c_id long, cosine double")
     # pair dedup + per-query rank in one aggregate (see _topk_finish)
     return _topk_finish(scored, k)
 
