@@ -286,7 +286,13 @@ def dsir_log_weights(
     def grams(frame: DataFrame) -> DataFrame:
         if hash_buckets is not None:
             # token hashes fold into bigram hashes JVM-side, then pmod
-            # into the bounded bucket space; explodes and joins carry longs
+            # into the bounded bucket space; explodes and joins carry
+            # longs. Uni+bi grams ride ONE concat array through ONE
+            # explode (r6): the two-branch union scanned the
+            # checkpointed token frame twice per grams() reference —
+            # interleaved A/B at 200k docs measured 11.5 s → 9.4 s for
+            # the whole operator; the gram MULTISET is identical
+            # (aggregate order-free), so output is unchanged.
             b = F.lit(int(hash_buckets))
             th = F.col("__toks")
             n = F.greatest(F.size(th) - 1, F.lit(0))
@@ -294,11 +300,9 @@ def dsir_log_weights(
                 F.slice(th, 1, n), F.slice(th, 2, n),
                 lambda a, x: F.xxhash64(a, x),
             )
-            uni = frame.select("id", F.explode(th).alias("h"))
-            bi = frame.select("id", F.explode(bh).alias("h"))
-            return uni.unionByName(bi).select(
-                "id", F.pmod(F.col("h"), b).alias("g")
-            )
+            return frame.select(
+                "id", F.explode(F.concat(th, bh)).alias("h")
+            ).select("id", F.pmod(F.col("h"), b).alias("g"))
         uni = frame.select("id", F.explode("__toks").alias("g"))
         bi = frame.select(
             "id", F.explode(_bigrams(F.col("__toks"))).alias("p")
