@@ -195,29 +195,33 @@ def lsh_cosine_topk(
 
 def _query_buckets_local(q_pdf, n_planes: int, n_tables: int, dim: int,
                          seed: int, probe: int):
-    """Driver-side twin of hyperplane_buckets' bucket strings (same
-    seeded plane construction, same f"{table}:{signature}" format, same
-    1-bit multiprobe flips) over a collected query batch — one numpy
-    matmul instead of a Spark job. Returns a pandas frame
+    """Driver-side twin of hyperplane_buckets' packed int bucket keys
+    (same seeded plane construction, same ``(table << n_planes) | sig``
+    encoding, same 1-bit multiprobe flips) over a collected query batch —
+    one numpy matmul instead of a Spark job. Returns a pandas frame
     (q_id, q_vec, bucket), one row per probed bucket."""
     rng = np.random.default_rng(seed)
     flat = rng.normal(size=(n_tables, n_planes, dim)).reshape(
         n_tables * n_planes, dim)
-    weights = 1 << np.arange(n_planes)
-    ids, recs = [], []
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    table_off = np.arange(n_tables, dtype=np.int64) << n_planes
     if len(q_pdf):
         m = np.array(q_pdf["q_vec"].tolist(), dtype=np.float64)
         bits = (m @ flat.T) >= 0.0
-        for r in range(m.shape[0]):
-            bs = []
-            for t in range(n_tables):
-                sig = int(bits[r, t * n_planes:(t + 1) * n_planes] @ weights)
-                bs.append(f"{t}:{sig}")
-                if probe >= 1:
-                    bs.extend(f"{t}:{sig ^ (1 << b)}" for b in range(n_planes))
-            ids.extend([r] * len(bs))
-            recs.extend(bs)
-    rows = q_pdf.iloc[ids].reset_index(drop=True) if ids else q_pdf.iloc[:0]
+        sigs = bits.reshape(-1, n_tables, n_planes) @ weights   # B × T
+        base = table_off + sigs
+        if probe >= 1:
+            flips = base[:, :, None] ^ (1 << np.arange(n_planes,
+                                                       dtype=np.int64))
+            allb = np.concatenate([base[:, :, None], flips],
+                                  axis=2).reshape(m.shape[0], -1)
+        else:
+            allb = base
+        ids = np.repeat(np.arange(m.shape[0]), allb.shape[1])
+        recs = allb.ravel()
+    else:
+        ids, recs = [], np.empty(0, dtype=np.int64)
+    rows = q_pdf.iloc[ids].reset_index(drop=True) if len(ids) else q_pdf.iloc[:0]
     out = pd.DataFrame({
         "q_id": rows["q_id"].to_numpy() if len(rows) else [],
         "bucket": recs,
@@ -226,7 +230,7 @@ def _query_buckets_local(q_pdf, n_planes: int, n_tables: int, dim: int,
     return out
 
 
-def _topk_finish(scored: DataFrame, k: int) -> DataFrame:
+def _topk_finish(scored: DataFrame, k: int, dedup: bool = True) -> DataFrame:
     """(q_id, c_id, cosine) candidate rows → per-query top-k with rank:
     pair dedup (same pair scored in several buckets/batches) + rank
     window. A single-aggregate formulation (collect_list + array_sort +
@@ -234,10 +238,17 @@ def _topk_finish(scored: DataFrame, k: int) -> DataFrame:
     interpreted higher-order dedup per query measured ~25% slower than
     these two small exchanges at 256 queries × 40k candidate rows, so
     the two-exchange shape stands.
+
+    ``dedup=False`` skips the pair-dedup exchange when the CALLER
+    guarantees (q_id, c_id) rows are already unique — true for the
+    grouped standing-index probe, where each candidate vector lives in
+    exactly one scan batch so a pair is scored at most once; dropping an
+    identity dropDuplicates removes one of the two finish exchanges.
     """
     from pyspark.sql import Window
 
-    scored = scored.dropDuplicates(["q_id", "c_id"])
+    if dedup:
+        scored = scored.dropDuplicates(["q_id", "c_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -251,7 +262,8 @@ def _topk_finish(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
+def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int,
+                          unique_rows: bool = False) -> DataFrame:
     """Map-side ANN probe: scan the standing corpus bucket index once,
     score each Arrow batch's rows against the (closure-shipped) query
     bucket table, emit per-batch per-query top-k, finish with one tiny
@@ -278,20 +290,22 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
     qn[qn == 0] = 1.0
     Qn = Q / qn[:, None]
     bucket_to_qrows: dict = {
-        b: np.unique(uq_idx[g.index.to_numpy()])
+        int(b): np.unique(uq_idx[g.index.to_numpy()])
         for b, g in qb_pdf.reset_index(drop=True).groupby("bucket")
     }
     # flattened probed-bucket table for the vectorized mask build below:
-    # bucket string -> dense code, plus a CSR-style (offsets, concat)
+    # SORTED int64 bucket keys (probe lookup = one searchsorted over the
+    # whole batch, no per-string Python dict hits — r6 int-key follow-up
+    # to the mapInArrow scorer), plus a CSR-style (offsets, concat)
     # layout of each probed bucket's query rows
-    b_index = {b: i for i, b in enumerate(bucket_to_qrows)}
-    if b_index:
+    items = sorted(bucket_to_qrows.items())
+    pb_keys = np.array([b for b, _ in items], dtype=np.int64)
+    if items:
         qr_counts = np.fromiter(
-            (len(v) for v in bucket_to_qrows.values()), dtype=np.int64,
-            count=len(b_index))
+            (len(v) for _, v in items), dtype=np.int64, count=len(items))
         qr_offsets = np.zeros(qr_counts.size, dtype=np.int64)
         np.cumsum(qr_counts[:-1], out=qr_offsets[1:])
-        qr_concat = (np.concatenate(list(bucket_to_qrows.values()))
+        qr_concat = (np.concatenate([v for _, v in items])
                      if qr_counts.sum() else np.empty(0, dtype=np.int64))
     n_q = uq_ids.size
     kk = k
@@ -302,8 +316,10 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
         # numpy could touch them — interleaved A/B at 100k index rows
         # measured 1.1-1.2 s (pandas) vs 0.7-0.9 s (arrow). Here vectors
         # decode zero-copy-ish (ListArray values buffer → reshape) and
-        # bucket strings are dictionary-encoded so only the ~thousands of
-        # DISTINCT strings per batch cross into Python for the probe map.
+        # int64 bucket keys go straight to numpy — the probe-membership
+        # lookup is one searchsorted over the sorted probed-key array
+        # (the string version dictionary-encoded the column and walked a
+        # Python dict per distinct string).
         import pyarrow as pa
 
         for batch in batches:
@@ -348,15 +364,16 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
             # total pairs ≈ Σ |qrows(bucket)| over matching entries,
             # which is small because probes spread thinly over buckets.
             M = np.zeros((n_q, uc_ids.size), dtype=bool)
-            enc = flat.dictionary_encode()
-            dict_codes = np.fromiter(
-                (b_index.get(s, -1) for s in enc.dictionary.to_pylist()),
-                dtype=np.int64, count=len(enc.dictionary))
-            codes = (dict_codes[enc.indices.to_numpy(zero_copy_only=False)]
-                     if len(enc.dictionary) else np.empty(0, dtype=np.int64))
-            hit = codes >= 0
+            vals = (flat.to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False))
+            if pb_keys.size:
+                pos = np.minimum(np.searchsorted(pb_keys, vals),
+                                 pb_keys.size - 1)
+                hit = pb_keys[pos] == vals
+            else:
+                hit = np.zeros(vals.size, dtype=bool)
             if hit.any():
-                bidx = codes[hit]
+                bidx = pos[hit]
                 cols = c_inv[hit]
                 counts = qr_counts[bidx]
                 tot = int(counts.sum())
@@ -394,13 +411,18 @@ def _broadcast_probe_topk(index_df: DataFrame, qb_pdf, k: int) -> DataFrame:
         pruned = index_df.select("c_id", "c_vec", "buckets")
     else:
         probed = spark.createDataFrame(
-            pd.DataFrame({"bucket": list(bucket_to_qrows)}), "bucket string")
+            pd.DataFrame({"bucket": pb_keys}), "bucket long")
         pruned = index_df.join(
             F.broadcast(probed), "bucket", "left_semi"
         ).select("c_id", "c_vec", "bucket")
     scored = pruned.mapInArrow(score, "q_id long, c_id long, cosine double")
-    # pair dedup + per-query rank in one aggregate (see _topk_finish)
-    return _topk_finish(scored, k)
+    # one-row-per-vector index (grouped LSH array index, IVF cell index):
+    # a candidate is scored in exactly one batch ⇒ (q_id, c_id) already
+    # unique — skip the dedup exchange. Exploded index: a candidate rides
+    # once per table membership across batches, so pair dedup is
+    # load-bearing there.
+    unique = unique_rows or "buckets" in index_df.columns
+    return _topk_finish(scored, k, dedup=not unique)
 
 
 def _inbucket_topk(both: DataFrame, k: int, n_partitions: int) -> DataFrame:
@@ -412,8 +434,8 @@ def _inbucket_topk(both: DataFrame, k: int, n_partitions: int) -> DataFrame:
     a subset of the union of per-bucket top-k, so no recall is lost.
     Duplicate (q, c) pairs from different buckets carry bit-identical
     cosines and collapse in one dropDuplicates before the final window.
-    Shared by hyperplane-LSH (bucket = table:signature) and IVF
-    (bucket = cell id).
+    Shared by hyperplane-LSH (bucket = packed (table, signature) int)
+    and IVF (bucket = cell id).
     """
     from pyspark.sql import Window
 
@@ -469,9 +491,12 @@ def hyperplane_buckets(
     grouped: bool = False,
 ) -> DataFrame:
     """One row per (vector, bucket): columns {prefix}_id, bucket
-    ("table:signature"). IDS ONLY — callers join vectors back after
-    candidate-pair dedup so the wide payload never rides the bucket
-    explode/shuffle.
+    (int64 ``(table << n_planes) | signature`` — r6 moved off the
+    "table:signature" strings so keys hash/compare as fixed 8-byte ints
+    and signature construction vectorizes; the encoding is bijective, so
+    candidate sets are unchanged). IDS ONLY — callers join vectors back
+    after candidate-pair dedup so the wide payload never rides the
+    bucket explode/shuffle.
 
     ``grouped=True`` (requires with_vec) skips the explode and returns
     ONE row per vector with a ``buckets`` ARRAY — the standing-index
@@ -491,7 +516,9 @@ def hyperplane_buckets(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
     flat = planes.reshape(n_tables * n_planes, dim)
-    weights = 1 << np.arange(n_planes)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    table_off = np.arange(n_tables, dtype=np.int64) << n_planes
+    flip_bits = 1 << np.arange(n_planes, dtype=np.int64)
     # plane parameters ride as column metadata on `bucket` so a prebuilt
     # index can be validated against the query side's parameters — a
     # mismatch hashes queries into disjoint buckets and silently returns
@@ -499,22 +526,25 @@ def hyperplane_buckets(
     bucket_meta = {"n_planes": n_planes, "n_tables": n_tables,
                    "dim": dim, "seed": seed}
 
-    @F.pandas_udf("array<string>")
+    @F.pandas_udf("array<long>")
     def buckets_of(embs: pd.Series) -> pd.Series:
         m = np.array(embs.tolist(), dtype=np.float64)
         if m.ndim != 2 or m.shape[0] == 0:
             return pd.Series([[] for _ in range(len(embs))])
         bits = (m @ flat.T) >= 0.0                      # B × (T·P)
-        out = []
-        for row in bits:
-            bs = []
-            for t in range(n_tables):
-                sig = int(row[t * n_planes:(t + 1) * n_planes] @ weights)
-                bs.append(f"{t}:{sig}")
-                if probe >= 1:
-                    bs.extend(f"{t}:{sig ^ (1 << b)}" for b in range(n_planes))
-            out.append(bs)
-        return pd.Series(out)
+        # int keys let the whole bucket-id construction stay in numpy
+        # (the string version looped Python per row building T·(P+1)
+        # f-strings); a 1-bit signature flip is an XOR on the low P bits
+        # of the packed key, so multiprobe vectorizes too
+        sigs = bits.reshape(-1, n_tables, n_planes) @ weights   # B × T
+        base = table_off + sigs                                 # B × T
+        if probe >= 1:
+            allb = np.concatenate(
+                [base[:, :, None], base[:, :, None] ^ flip_bits],
+                axis=2).reshape(m.shape[0], -1)
+        else:
+            allb = base
+        return pd.Series(list(allb))
 
     if grouped:
         if not with_vec:
@@ -635,8 +665,8 @@ def ivf_build_index(
     seed: int = 42,
     iters: int = 10,
 ) -> DataFrame:
-    """Standing IVF index: (c_id, c_vec, bucket=cell-id-string), one row
-    per vector, centroids + training parameters stamped as metadata on
+    """Standing IVF index: (c_id, c_vec, bucket=cell id as int64), one
+    row per vector, centroids + training parameters stamped as metadata on
     ``bucket`` so the probe side can assign query cells driver-side and
     validate compatibility — the IVF twin of the grouped hyperplane
     index (build once, probe many query batches with zero corpus
@@ -665,7 +695,7 @@ def ivf_build_index(
     return corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        cell_of(F.col(vec_col)).cast("string").alias("bucket"),
+        cell_of(F.col(vec_col)).cast("long").alias("bucket"),
     ).withMetadata("bucket", meta)
 
 
@@ -727,10 +757,13 @@ def ivf_cosine_topk(
             top = np.argsort(-(Qm @ cent.T), axis=1)[:, :n_probe_eff]
             idx = np.repeat(np.arange(len(q_pdf)), n_probe_eff)
             qb_pdf = q_pdf.iloc[idx].reset_index(drop=True)
-            qb_pdf["bucket"] = top.ravel().astype(str)
+            qb_pdf["bucket"] = top.ravel().astype(np.int64)
         else:
-            qb_pdf = q_pdf.assign(bucket=pd.Series(dtype=str))
-        return _broadcast_probe_topk(corpus_index, qb_pdf, k)
+            qb_pdf = q_pdf.assign(bucket=pd.Series(dtype=np.int64))
+        # the IVF index is one row per vector (one cell each), so scored
+        # (q, c) pairs are unique — the finish can skip the dedup exchange
+        return _broadcast_probe_topk(corpus_index, qb_pdf, k,
+                                     unique_rows=True)
 
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
