@@ -911,9 +911,10 @@ def connected_components(
     every node takes the min label among itself and its neighbors;
     converges in graph-DIAMETER iterations (near-dup components are
     cliquey, diameter ~2-4, so this is the cheap path for dedup graphs).
-    Per iteration: one join + one groupBy shuffle over the EDGE list, a
+    Per iteration: one join + one groupBy shuffle over the EDGE list and a
     lazy localCheckpoint to truncate lineage (else the plan doubles per
-    iteration), and one bounded driver action (the convergence count).
+    iteration); the bounded driver action (the convergence count) runs
+    every SECOND iteration, so two rounds share one job barrier.
 
     ``method='star'``: the alternating large-star/small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -966,7 +967,7 @@ def connected_components(
             .withColumn("label", F.col("id"))
             .localCheckpoint(eager=False)
         )
-        for _ in range(max_iters):
+        for _it in range(max_iters):
             propagated = (
                 edges.join(labels.withColumnRenamed("id", "s"), "s")
                 .select(F.col("d").alias("id"), "label",
@@ -1003,8 +1004,20 @@ def connected_components(
                 .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
                 .localCheckpoint(eager=False)
             )
-            changed = new_labels.filter(F.col("label") < F.col("__old")).count()
             labels = new_labels.select("id", "label")
+            # convergence checked every OTHER round (r6): the count is
+            # the loop's only driver action, so checking at round k+1
+            # instead of k halves the job barriers that dominate CC
+            # wall-clock on modest graphs (stage work is unchanged — the
+            # unchecked round's lazy checkpoint materializes inside the
+            # next round's job). Worst case one extra no-op round past
+            # the fixpoint; the result is identical because min-label
+            # propagation is idempotent once converged (__old compares
+            # the LAST round only, and "last round changed nothing" is
+            # exactly the fixpoint test).
+            if _it % 2 == 0 and _it != max_iters - 1:
+                continue
+            changed = new_labels.filter(F.col("label") < F.col("__old")).count()
             if changed == 0:
                 break
         else:
